@@ -1,0 +1,1 @@
+from . import colour, heatmap, occluder, partial_conv, recon, warp

@@ -1,0 +1,135 @@
+"""On-device occluder pasting and random-erase augmentation.
+
+Re-implements augment_occluder.py TPU-natively. The reference resizes each
+occluder sprite with cv2 and pastes it by array slicing (augment_occluder.py
+:68-81, :7-55) — both dynamic-shape host ops. Here pasting is reformulated as
+an *inverse-mapped gather*: every image pixel computes its coordinate inside
+the (scaled) occluder and bilinear-samples sprite colour + alpha; pixels that
+land outside get alpha 0. That keeps all shapes static, so the whole composite
+jits and vmaps.
+
+The occluder bank (occluder_<i>.npy / mask_<i>.npy under -occ_path,
+augment_occluder.py:58-65) is padded onto a fixed canvas once at load time.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_occluder_bank(occ_path, occ_count, canvas=256):
+    """Host-side: load `occ_count` sprites, pad to (canvas, canvas), return
+    (sprites (N,c,c,3) float32 [0,1], alphas (N,c,c), shapes (N,2) int32)."""
+    sprites = np.zeros((occ_count, canvas, canvas, 3), np.float32)
+    alphas = np.zeros((occ_count, canvas, canvas), np.float32)
+    shapes = np.zeros((occ_count, 2), np.int32)
+    for i in range(occ_count):
+        occ = np.load(os.path.join(occ_path, f'occluder_{i}.npy'))
+        mask = np.load(os.path.join(occ_path, f'mask_{i}.npy'))
+        if occ.dtype == np.uint8:
+            occ = occ.astype(np.float32) / 255.0
+        mask = mask.astype(np.float32)
+        h, w = occ.shape[:2]
+        h, w = min(h, canvas), min(w, canvas)
+        sprites[i, :h, :w] = occ[:h, :w, :3]
+        alphas[i, :h, :w] = mask[:h, :w]
+        shapes[i] = (h, w)
+    return sprites, alphas, shapes
+
+
+def _sample_sprite(sprite, alpha, shape, coords):
+    """Bilinear-sample sprite colour and alpha at float (x, y) coords; alpha is
+    zero outside the sprite's true extent."""
+    c = sprite.shape[0]
+    x, y = coords[..., 0], coords[..., 1]
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    fx, fy = x - x0, y - y0
+
+    eh = shape[0].astype(jnp.float32)
+    ew = shape[1].astype(jnp.float32)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi <= ew - 1) & (yi >= 0) & (yi <= eh - 1)
+        xi_c = jnp.clip(xi, 0, c - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, c - 1).astype(jnp.int32)
+        flat = yi_c * c + xi_c
+        rgb = jnp.take(sprite.reshape(c * c, 3), flat.reshape(-1), axis=0)
+        rgb = rgb.reshape(flat.shape + (3,))
+        a = jnp.take(alpha.reshape(c * c), flat.reshape(-1)).reshape(flat.shape)
+        m = valid.astype(jnp.float32)
+        return rgb * m[..., None], a * m
+
+    c00, a00 = tap(y0, x0)
+    c01, a01 = tap(y0, x0 + 1)
+    c10, a10 = tap(y0 + 1, x0)
+    c11, a11 = tap(y0 + 1, x0 + 1)
+
+    fxe = fx[..., None]
+    rgb = ((c00 * (1 - fxe) + c01 * fxe) * (1 - fy[..., None])
+           + (c10 * (1 - fxe) + c11 * fxe) * fy[..., None])
+    a = ((a00 * (1 - fx) + a01 * fx) * (1 - fy)
+         + (a10 * (1 - fx) + a11 * fx) * fy)
+    return rgb, a
+
+
+def random_occlu(image, key, sprites, alphas, shapes):
+    """One sample of augment_occluder.random_occlu (:68-81): pick a sprite,
+    scale by U(0.4, 0.8), paste centered at a uniform-random point.
+
+    image: (H, W, 3) float [0,1].
+    """
+    k_idx, k_scale, k_center = jax.random.split(key, 3)
+    n = sprites.shape[0]
+    idx = jax.random.randint(k_idx, (), 0, n)
+    sprite = sprites[idx]
+    alpha = alphas[idx]
+    shape = shapes[idx].astype(jnp.float32)
+
+    scale = jax.random.uniform(k_scale, (), minval=0.4, maxval=0.8)
+    dest_shape = jnp.round(scale * shape)                     # (h, w) scaled
+    h, w = image.shape[:2]
+    center = (jnp.asarray([h, w], jnp.float32)
+              * jax.random.uniform(k_center, (2,)))
+    center = jnp.round(center)
+
+    # inverse map: image pixel -> sprite pixel
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    start = center - dest_shape / 2                            # (y, x) of paste origin
+    # sprite coordinate = (pixel - start) * (orig / dest)
+    ratio = shape / jnp.maximum(dest_shape, 1.0)
+    sx = (xx - start[1]) * ratio[1]
+    sy = (yy - start[0]) * ratio[0]
+    coords = jnp.stack([sx, sy], axis=-1)
+
+    rgb, a = _sample_sprite(sprite, alpha, shapes[idx], coords)
+    a = a[..., None]
+    return image * (1 - a) + rgb * a
+
+
+def random_erase(image, key):
+    """augment_occluder.random_erase (:84-105): fill a random rectangle
+    (10-25% of area, aspect 0.4-2.5) with a random uint8 colour."""
+    k_col, k_area, k_aspect, k_pos = jax.random.split(key, 4)
+    h, w = image.shape[:2]
+    rand_color = jax.random.randint(k_col, (3,), 0, 256).astype(jnp.float32) / 255.0
+
+    image_area = jnp.float32(h * w)
+    erase_area = jax.random.uniform(k_area, (), minval=0.1, maxval=0.25) * image_area
+    aspect = jax.random.uniform(k_aspect, (), minval=0.4, maxval=2.5)
+    erase_h = jnp.sqrt(erase_area * aspect)
+    erase_w = jnp.sqrt(erase_area / aspect)
+    erase_shape = jnp.stack([erase_h, erase_w])
+
+    start = ((jnp.asarray([h, w], jnp.float32) - erase_shape)
+             * jax.random.uniform(k_pos, (2,)))
+    start = jnp.round(start)
+    end = jnp.round(start + erase_shape)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    inside = ((yy >= start[0]) & (yy < end[0])
+              & (xx >= start[1]) & (xx < end[1]))
+    return jnp.where(inside[..., None], rand_color, image)

@@ -1,0 +1,188 @@
+"""On-device perspective crop-warp.
+
+Replaces the reference's per-sample host warps — `cv2.remap`/`cv2.warpAffine`
+inside DataLoader workers (cameralib.py:404, :433, :696-707) — with a batched,
+jit-compiled XLA resampler that runs on TPU. The host only computes one 3x3
+homography per sample (pose_tpu.geometry.camera.get_homography); the pixel
+work happens here.
+
+Semantics match `cv2.remap(..., INTER_LINEAR, BORDER_CONSTANT, borderValue=0)`
+up to cv2's 5-bit fixed-point weight quantization: bilinear interpolation with
+zero contribution from out-of-bounds taps. The antialias pre-downscale path of
+`reproject_image_fast` (cameralib.py:676-689) is provided via
+`antialias_factor` + `area_downscale`.
+
+Images are NHWC (TPU-native layout). Variable-size source images are handled
+by zero-padding onto a fixed canvas and passing the true (h, w) extents;
+because the border value is 0, samples straddling the true edge blend with
+zeros exactly as cv2's BORDER_CONSTANT would.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def homography_source_coords(homography, out_shape):
+    """Source-pixel lookup coordinates for each output pixel.
+
+    homography: (3, 3) mapping homogeneous *output* pixel coords to *source*
+    pixel coords — the `old_matrix @ inv(new_matrix)` composition of
+    cameralib.py:672-674.
+
+    Returns (out_h, out_w, 2) float32 (x, y) source coordinates.
+    """
+    out_h, out_w = out_shape
+    y = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    # explicit FMAs rather than a matmul: jnp.dot at default precision costs
+    # ~0.2 px here (bf16 passes on the MXU); elementwise ops run exact fp32
+    # on the VPU and fuse into the gather kernel anyway
+    h = homography
+    xs = h[0, 0] * x + h[0, 1] * y + h[0, 2]
+    ys = h[1, 0] * x + h[1, 1] * y + h[1, 2]
+    ws = h[2, 0] * x + h[2, 1] * y + h[2, 2]
+    return jnp.stack([xs / ws, ys / ws], axis=-1)
+
+
+def bilinear_sample(image, coords, extent=None):
+    """Bilinear resample `image` (H, W, C) at float (x, y) `coords`
+    (..., 2) with zero border.
+
+    extent: optional (h, w) true valid extent when `image` is a padded canvas;
+    taps at or beyond the extent contribute zero, which reproduces cv2's
+    BORDER_CONSTANT(0) exactly for a zero-padded canvas.
+    """
+    h, w = image.shape[:2]
+    if extent is None:
+        eh = jnp.asarray(h, jnp.float32)
+        ew = jnp.asarray(w, jnp.float32)
+    else:
+        eh = extent[0].astype(jnp.float32)
+        ew = extent[1].astype(jnp.float32)
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    # non-finite lookup coords (degenerate homography, w≈0 horizon line) must
+    # resolve to the border value like cv2.remap, not propagate NaN
+    x = jnp.where(jnp.isfinite(x), x, -1e9)
+    y = jnp.where(jnp.isfinite(y), y, -1e9)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def tap(yi, xi):
+        valid = ((xi >= 0) & (xi <= ew - 1) & (yi >= 0) & (yi <= eh - 1))
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = yi_c * w + xi_c
+        vals = jnp.take(image.reshape(h * w, -1), flat.reshape(-1), axis=0)
+        vals = vals.reshape(flat.shape + (image.shape[-1],))
+        return vals * valid[..., None].astype(image.dtype)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def warp_single(image, homography, out_shape, extent=None):
+    """Warp one (H, W, C) image through `homography` to `out_shape`."""
+    coords = homography_source_coords(homography, out_shape)
+    return bilinear_sample(image, coords, extent)
+
+
+@functools.partial(jax.jit, static_argnames=('out_shape',))
+def warp_batch(images, homographies, out_shape, extents=None):
+    """Batched perspective warp: (B, H, W, C) x (B, 3, 3) -> (B, oh, ow, C).
+
+    extents: optional (B, 2) int array of per-sample true (h, w) extents for
+    zero-padded canvases.
+    """
+    if extents is None:
+        return jax.vmap(lambda im, hg: warp_single(im, hg, out_shape))(
+            images, homographies)
+    return jax.vmap(lambda im, hg, ex: warp_single(im, hg, out_shape, ex))(
+        images, homographies, extents)
+
+
+def antialias_factor(homography, out_shape):
+    """Host-side: the isotropic pre-downscale factor of the reference's
+    antialias path (cameralib.py:676-689). Returns a float <= 1; 1 means no
+    pre-downscale is needed."""
+    homography = np.asarray(homography, np.float64)
+    center = np.array([out_shape[1] / 2, out_shape[0] / 2, 1.0])
+    down = center + [0, 1, 0]
+    right = center + [1, 0, 0]
+    pts = np.stack([center, down, right], axis=0) @ homography.T
+    pts = pts[:, :2] / pts[:, 2:]
+    center_src, down_src, right_src = pts
+    y_factor = min(1 / np.linalg.norm(center_src - down_src) * 1.5, 1)
+    x_factor = min(1 / np.linalg.norm(center_src - right_src) * 1.5, 1)
+    return float(np.sqrt(y_factor * x_factor))
+
+
+def area_downscale(image, factor_shape):
+    """Antialiased downscale to `factor_shape` = (new_h, new_w), standing in
+    for cv2.INTER_AREA (cameralib.py:687-688). Uses jax.image linear resize
+    with antialias (triangle filter), which closely tracks area averaging for
+    the ~0.5-1.0 factors this path sees."""
+    new_h, new_w = factor_shape
+    return jax.image.resize(image, (new_h, new_w, image.shape[-1]),
+                            method='linear', antialias=True)
+
+
+def distorted_source_coords(coords_undist, old_intrinsics, dist_coeffs):
+    """General-path lookup (cameralib.py:408-424): when the *source* camera has
+    distortion, the undistorted normalized coords must be pushed through the
+    forward distortion polynomial before applying the source intrinsics.
+
+    coords_undist: (..., 2) normalized (pre-intrinsics) source-cam coords.
+    Matches the reference's project_points polynomial (cameralib.py:636-658).
+    """
+    k1, k2, p1, p2, k3 = [dist_coeffs[i] for i in range(5)]
+    x = coords_undist[..., 0]
+    y = coords_undist[..., 1]
+    r2 = x * x + y * y
+    r4 = r2 * r2
+    r6 = r4 * r2
+    distorter = (1.0 + k1 * r2 + k2 * r4 + k3 * r6
+                 + x * (2.0 * p2) + y * (2.0 * p1))
+    xd = x * distorter + r2 * p2
+    yd = y * distorter + r2 * p1
+    fx = old_intrinsics[0, 0]
+    fy = old_intrinsics[1, 1]
+    skew = old_intrinsics[0, 1]
+    cx = old_intrinsics[0, 2]
+    cy = old_intrinsics[1, 2]
+    u = fx * xd + skew * yd + cx
+    v = fy * yd + cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def warp_single_distorted(image, partial_homography, old_intrinsics,
+                          dist_coeffs, out_shape, extent=None):
+    """Warp when the source camera is distorted (the general case of
+    cameralib.py:415-421): partial_homography = R_old @ inv(R_new) @ inv(K_new)
+    maps output pixels to *camera-space rays* of the old camera; those are
+    projected with distortion, then sampled."""
+    out_h, out_w = out_shape
+    y = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    h = partial_homography
+    rx = h[0, 0] * x + h[0, 1] * y + h[0, 2]
+    ry = h[1, 0] * x + h[1, 1] * y + h[1, 2]
+    rw = h[2, 0] * x + h[2, 1] * y + h[2, 2]
+    normalized = jnp.stack([rx / rw, ry / rw], axis=-1)
+    coords = distorted_source_coords(normalized, old_intrinsics, dist_coeffs)
+    return bilinear_sample(image, coords, extent)

@@ -1,0 +1,325 @@
+"""On-device ops vs host goldens: warp vs cv2.remap, colour vs the reference
+chain, soft-argmax decode vs the torch formulas, partial conv vs the reference
+renormalization."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pose_tpu.geometry import Camera, get_homography
+from pose_tpu.ops import colour, heatmap, occluder, recon, warp
+from pose_tpu.ops.partial_conv import partial_conv, renormalize_xla
+
+
+def _random_image(rng, h=120, w=160, c=3):
+    return rng.uniform(0, 1, (h, w, c)).astype(np.float32)
+
+
+class TestWarp:
+    def _golden_remap(self, image, hom, out_shape):
+        y, x = np.mgrid[:out_shape[0], :out_shape[1]].astype(np.float32)
+        coords = np.stack([x, y, np.ones_like(x)], axis=0).reshape(3, -1)
+        coords = hom @ coords
+        coords = coords[:2] / coords[2:]
+        coords = coords.reshape(2, *out_shape).astype(np.float32)
+        return cv2.remap(image, coords[0], coords[1], cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+    def test_identity(self):
+        rng = np.random.RandomState(0)
+        img = _random_image(rng, 64, 64)
+        out = warp.warp_single(jnp.asarray(img), jnp.eye(3), (64, 64))
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+    def test_vs_cv2_remap_homography(self):
+        rng = np.random.RandomState(1)
+        img = _random_image(rng, 120, 160)
+        # a realistic crop homography from the camera pipeline
+        K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
+        cam = Camera([0, 0, 0], np.eye(3), K, None)
+        new_cam = cam.copy()
+        new_cam.turn_towards(target_image_point=np.float32([100, 70]))
+        new_cam.square_pixels()
+        new_cam.zoom(0.8)
+        new_cam.center_principal_point((65, 65))
+        hom = get_homography(cam, new_cam).astype(np.float32)
+
+        golden = self._golden_remap(img, hom, (65, 65))
+        ours = np.asarray(warp.warp_single(jnp.asarray(img),
+                                           jnp.asarray(hom), (65, 65)))
+        # cv2 uses 5-bit fixed-point interpolation weights: tolerance 2/64
+        assert np.abs(ours - golden).max() < 0.04
+        assert np.abs(ours - golden).mean() < 0.004
+
+    def test_out_of_bounds_is_zero(self):
+        rng = np.random.RandomState(2)
+        img = _random_image(rng, 32, 32)
+        hom = np.eye(3, dtype=np.float32)
+        hom[0, 2] = 1000  # shift far outside
+        out = np.asarray(warp.warp_single(jnp.asarray(img),
+                                          jnp.asarray(hom), (32, 32)))
+        assert np.all(out == 0)
+
+    def test_extent_masks_padding(self):
+        rng = np.random.RandomState(3)
+        img = np.zeros((64, 64, 3), np.float32)
+        img[:40, :48] = _random_image(rng, 40, 48)
+        out_full = np.asarray(warp.warp_single(
+            jnp.asarray(img), jnp.eye(3), (64, 64),
+            extent=jnp.asarray([40, 48])))
+        golden = self._golden_remap(img[:40, :48].copy(), np.eye(3, dtype=np.float32),
+                                    (64, 64))
+        np.testing.assert_allclose(out_full, golden, atol=0.04)
+
+    def test_batched(self):
+        rng = np.random.RandomState(4)
+        imgs = np.stack([_random_image(rng, 48, 48) for _ in range(4)])
+        homs = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+        homs[:, 0, 0] = rng.uniform(0.5, 2.0, 4)
+        out = np.asarray(warp.warp_batch(jnp.asarray(imgs), jnp.asarray(homs),
+                                         (48, 48)))
+        for i in range(4):
+            golden = self._golden_remap(imgs[i], homs[i], (48, 48))
+            assert np.abs(out[i] - golden).max() < 0.04
+
+
+class TestColour:
+    def test_hsv_roundtrip(self):
+        rng = np.random.RandomState(0)
+        img = _random_image(rng, 16, 16)
+        hsv = colour.rgb_to_hsv(jnp.asarray(img))
+        back = np.asarray(colour.hsv_to_rgb(hsv))
+        np.testing.assert_allclose(back, img, atol=1e-5)
+
+    def test_hsv_matches_cv2(self):
+        rng = np.random.RandomState(1)
+        img = _random_image(rng, 16, 16)
+        ours = np.asarray(colour.rgb_to_hsv(jnp.asarray(img)))
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_random_color_statistics(self):
+        # the op must stay in [0,1] and not be the identity
+        rng = np.random.RandomState(2)
+        img = jnp.asarray(_random_image(rng, 32, 32))
+        out = colour.random_color(img, jax.random.PRNGKey(0))
+        out = np.asarray(out)
+        assert out.min() >= 0 and out.max() <= 1
+        assert np.abs(out - np.asarray(img)).max() > 1e-3
+
+    def test_quantize_matches_uint8_truncation(self):
+        rng = np.random.RandomState(3)
+        img = _random_image(rng, 8, 8)
+        ours = np.asarray(colour.quantize_like_uint8(jnp.asarray(img)))
+        ref = (img * 255).astype(np.uint8).astype(np.float32) / 255.0
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_normalize(self):
+        img = jnp.ones((4, 4, 3)) * 0.5
+        out = np.asarray(colour.normalize_imagenet(img))
+        ref = (0.5 - np.array(colour.IMAGENET_MEAN)) / np.array(colour.IMAGENET_DEV)
+        np.testing.assert_allclose(out[0, 0], ref, atol=1e-6)
+
+
+class TestHeatmap:
+    def test_decode3d_against_torch_formula(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.RandomState(0)
+        b, j, h, w, d = 2, 19, 17, 17, 16
+        # NCHW feature like the reference: (B, D*J, H, W)
+        feat_nchw = rng.randn(b, d * j, h, w).astype(np.float32)
+
+        t = torch.from_numpy(feat_nchw)
+        heat = t.view(-1, d, j, h, w).permute(0, 2, 3, 4, 1).contiguous()
+        heat = heat.view(-1, j, h * w * d)
+        heat = torch.softmax(heat, dim=2).view(-1, j, h, w, d)
+        heat_y = heat.sum(dim=(3, 4))
+        heat_x = heat.sum(dim=(2, 4))
+        heat_z = heat.sum(dim=(2, 3))
+        gy = torch.linspace(0, 2, h).view(1, 1, -1)
+        gx = torch.linspace(0, 2, w).view(1, 1, -1)
+        gz = torch.linspace(0, 2, d).view(1, 1, -1)
+        golden = torch.stack(((gx * heat_x).sum(2), (gy * heat_y).sum(2),
+                              (gz * heat_z).sum(2)), dim=2).numpy() * 1000.0
+
+        # ours takes NHWC with channels factorized (depth, joints)
+        feat_nhwc = feat_nchw.reshape(b, d, j, h, w).transpose(0, 3, 4, 1, 2)
+        feat_nhwc = feat_nhwc.reshape(b, h, w, d * j)
+        hm = heatmap.to_heatmap3d(jnp.asarray(feat_nhwc), d, j)
+        ours = np.asarray(heatmap.decode3d(hm, 1000.0))
+        np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-2)
+
+    def test_decode2d_against_torch_formula(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.RandomState(1)
+        b, j, h, w = 2, 19, 17, 17
+        feat_nchw = rng.randn(b, j, h, w).astype(np.float32)
+
+        t = torch.from_numpy(feat_nchw).view(b, j, h * w)
+        heat = torch.softmax(t, dim=2).view(b, j, h, w)
+        hx = heat.sum(dim=2)
+        hy = heat.sum(dim=3)
+        gx = torch.linspace(0, 1, w).view(1, 1, -1)
+        gy = torch.linspace(0, 1, h).view(1, 1, -1)
+        golden = torch.stack(((gx * hx).sum(-1), (gy * hy).sum(-1)),
+                             dim=2).numpy() * 257
+
+        feat_nhwc = feat_nchw.transpose(0, 2, 3, 1)
+        hm = heatmap.to_heatmap2d(jnp.asarray(feat_nhwc), j)
+        ours = np.asarray(heatmap.decode2d(hm, 257))
+        np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-3)
+
+    def test_attention_map(self):
+        coords = np.float32([[128, 128], [30, 200]])
+        ours = np.asarray(heatmap.get_attention(257, 16, jnp.asarray(coords), True))
+
+        # reference numpy version (utils.py:14-42)
+        side_out = (257 - 1) // 16 + 1
+        cx, cy = np.meshgrid(np.arange(side_out), np.arange(side_out))
+        cx = np.expand_dims(cx, -1)
+        cy = np.expand_dims(cy, -1)
+        dist_x = cx - coords[:, 0] / (257 / side_out)
+        dist_y = cy - coords[:, 1] / (257 / side_out)
+        radial = np.exp(-(dist_x ** 2 + dist_y ** 2) / 5.0).sum(axis=-1)
+        golden = (radial / np.amax(radial))[None]
+        np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
+
+        flat = np.asarray(heatmap.get_attention(257, 16, jnp.asarray(coords), False))
+        assert flat.shape == (1, side_out, side_out) and np.all(flat == 1)
+
+
+class TestRecon:
+    def test_recovers_known_root(self):
+        rng = np.random.RandomState(0)
+        b, j = 3, 19
+        K = np.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]], np.float32)
+        intr = np.tile(K, (b, 1, 1))
+        root = rng.uniform([-200, -200, 2500], [200, 200, 4000], (b, 3)).astype(np.float32)
+        relat = rng.uniform(-400, 400, (b, j, 3)).astype(np.float32)
+        relat -= relat.mean(axis=1, keepdims=True)
+        absolute = relat + root[:, None]
+        proj = absolute[..., :2] / absolute[..., 2:]
+        pix = proj @ K[:2, :2].T + K[:2, 2]
+
+        rec = np.asarray(recon.recon_root(jnp.asarray(pix), jnp.asarray(relat),
+                                          jnp.asarray(intr)))
+        np.testing.assert_allclose(rec, absolute, rtol=1e-3, atol=0.5)
+
+    def test_differentiable(self):
+        rng = np.random.RandomState(1)
+        b, j = 2, 17
+        K = np.tile(np.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]],
+                             np.float32), (b, 1, 1))
+        pix = rng.uniform(0, 257, (b, j, 2)).astype(np.float32)
+        relat = rng.uniform(-400, 400, (b, j, 3)).astype(np.float32)
+
+        def loss(r):
+            return jnp.sum(recon.recon_root(jnp.asarray(pix), r,
+                                            jnp.asarray(K)) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(relat))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPartialConv:
+    def _torch_partial_conv(self, x, mask, w, stride, padding, dilation):
+        torch = pytest.importorskip('torch')
+        import torch.nn.functional as F
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        mt = torch.from_numpy(np.broadcast_to(
+            mask.transpose(0, 3, 1, 2), (x.shape[0], 1) + x.shape[1:3]).copy())
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+        kh, kw = w.shape[:2]
+        ones = torch.ones(1, 1, kh, kw)
+        winsize = kh * kw
+        mask_out = F.conv2d(mt, ones, stride=stride, padding=padding,
+                            dilation=dilation)
+        multiplier = winsize / (mask_out + 1e-6)
+        mask_out = torch.clamp(mask_out, 0, 1)
+        multiplier = multiplier * mask_out
+        raw = F.conv2d(xt * mt, wt, stride=stride, padding=padding,
+                       dilation=dilation)
+        out = raw * multiplier
+        return (out.numpy().transpose(0, 2, 3, 1),
+                mask_out.numpy().transpose(0, 2, 3, 1))
+
+    @pytest.mark.parametrize('stride,padding,dilation,k', [
+        (2, 3, 1, 7),   # the 7x7 stem (partial_depthnet.py:177)
+        (1, 1, 1, 3),   # stage-1 3x3
+        (2, 1, 1, 3),   # strided 3x3
+        (1, 2, 2, 3),   # dilated 3x3 (stage-2 under stride-8 configs)
+        (1, 0, 1, 1),   # 1x1 bottleneck convs
+    ])
+    def test_vs_reference(self, stride, padding, dilation, k):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 16, 16, 4).astype(np.float32)
+        mask = (rng.rand(2, 16, 16, 1) > 0.4).astype(np.float32)
+        w = rng.randn(k, k, 4, 8).astype(np.float32) * 0.1
+
+        golden_out, golden_mask = self._torch_partial_conv(
+            x, mask, w, stride, padding, dilation)
+        out, mask_out = partial_conv(jnp.asarray(x), jnp.asarray(mask),
+                                     jnp.asarray(w), stride, padding, dilation,
+                                     use_pallas=False)
+        # XLA:CPU (oneDNN) and torch accumulate convs in different orders;
+        # the renorm multiplier (up to winsize at sparse-mask borders)
+        # amplifies that float noise
+        np.testing.assert_allclose(np.asarray(out), golden_out,
+                                   rtol=1e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(mask_out), golden_mask,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_full_mask_equals_plain_conv(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 8, 8, 3).astype(np.float32)
+        mask = np.ones((1, 8, 8, 1), np.float32)
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        out, mask_out = partial_conv(jnp.asarray(x), jnp.asarray(mask),
+                                     jnp.asarray(w), 1, 1, use_pallas=False)
+        plain = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ('NHWC', 'HWIO', 'NHWC')))
+        # interior pixels see a full window: output must equal a plain conv
+        np.testing.assert_allclose(np.asarray(out)[:, 1:-1, 1:-1],
+                                   np.asarray(plain)[:, 1:-1, 1:-1],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_gradient_flows_only_through_data(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32))
+        mask = jnp.asarray((rng.rand(1, 8, 8, 1) > 0.3).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+
+        def loss(w_):
+            out, _ = partial_conv(x, mask, w_, 1, 1, use_pallas=False)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(w)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestOccluder:
+    def test_random_erase_fills_rectangle(self):
+        img = jnp.ones((64, 64, 3)) * 0.5
+        out = np.asarray(occluder.random_erase(img, jax.random.PRNGKey(0)))
+        changed = np.any(out != 0.5, axis=-1)
+        frac = changed.mean()
+        assert 0.05 < frac < 0.35  # 10-25% of area, rounding slack
+
+    def test_random_occlu_blends(self):
+        sprites = np.zeros((2, 64, 64, 3), np.float32)
+        alphas = np.zeros((2, 64, 64), np.float32)
+        sprites[:, :32, :32] = 1.0
+        alphas[:, :32, :32] = 1.0
+        shapes = np.array([[32, 32], [32, 32]], np.int32)
+        img = jnp.zeros((64, 64, 3))
+        out = np.asarray(occluder.random_occlu(
+            img, jax.random.PRNGKey(1), jnp.asarray(sprites),
+            jnp.asarray(alphas), jnp.asarray(shapes)))
+        assert out.max() > 0.9  # sprite pasted somewhere
+        assert out.min() == 0.0
