@@ -1,0 +1,102 @@
+"""Device-side batched preprocessing: warp + photometric + normalize, jitted.
+
+This is the TPU-native replacement for the reference's per-sample CPU hot
+loop (datasets.py:124-146): one compiled program takes the batch of padded
+source canvases and per-sample homographies and produces normalized network
+inputs. Randomness comes from a single per-step jax.random key split per
+sample, so a training step is fully reproducible (SURVEY.md §7.2).
+
+The colour branch mirrors the reference order (datasets.py:129-131):
+warp -> random_color -> (x*255 trunc)/255 -> ToTensor -> ImageNet normalize.
+The depth branch (depth_datasets.py:203-217) shares the same flip/zoom draw
+through its own homography, then applies the ray-length correction and the
+enhance_<dataset> transform in-kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import colour, occluder, warp
+
+
+@functools.partial(jax.jit, static_argnames=('side_in', 'do_colour',
+                                             'do_eraser'))
+def process_color_batch(canvases, homographies, extents, key, side_in,
+                        do_colour, do_eraser):
+    """(B, Hc, Wc, 3) uint8 canvases -> (B, side_in, side_in, 3) normalized
+    float32 inputs."""
+    images = canvases.astype(jnp.float32) / 255.0
+    crops = warp.warp_batch(images, homographies, (side_in, side_in), extents)
+    if do_colour:
+        keys = jax.random.split(key, crops.shape[0])
+        crops = colour.random_color_batch(crops, keys)
+    if do_eraser:
+        ekeys = jax.random.split(jax.random.fold_in(key, 1), crops.shape[0])
+        crops = jax.vmap(occluder.random_erase)(crops, ekeys)
+    return colour.normalize_imagenet(crops)
+
+
+@functools.partial(jax.jit, static_argnames=('side_in', 'do_colour',
+                                             'do_eraser'))
+def process_color_batch_occluded(canvases, homographies, extents, key,
+                                 sprites, alphas, shapes, side_in, do_colour,
+                                 do_eraser):
+    """process_color_batch with occluder pasting (-occluder, BASELINE
+    config 4) between the warp and the colour chain."""
+    images = canvases.astype(jnp.float32) / 255.0
+    crops = warp.warp_batch(images, homographies, (side_in, side_in), extents)
+    okeys = jax.random.split(jax.random.fold_in(key, 2), crops.shape[0])
+    crops = jax.vmap(
+        lambda im, k: occluder.random_occlu(im, k, sprites, alphas, shapes)
+    )(crops, okeys)
+    if do_colour:
+        keys = jax.random.split(key, crops.shape[0])
+        crops = colour.random_color_batch(crops, keys)
+    if do_eraser:
+        ekeys = jax.random.split(jax.random.fold_in(key, 1), crops.shape[0])
+        crops = jax.vmap(occluder.random_erase)(crops, ekeys)
+    return colour.normalize_imagenet(crops)
+
+
+def enhance_depth(image, nexponent, thresh):
+    """enhance_ntu / enhance_pku (depth_datasets.py:39-56): scale by
+    255/10 m, validity threshold (0.1 NTU / 0.5 PKU), then exp(-d)*veil or
+    d/3."""
+    image = image / (10.0 / 255.0)
+    veil = (thresh <= image).astype(jnp.float32)
+    if nexponent:
+        return jnp.exp(-image) * veil
+    return image / 3.0
+
+
+def to_depth_correction(depth_crop, k_inv):
+    """utils.to_depth (utils.py:68-75) applied to the warped crop with the
+    original depth camera's intrinsics: divide by
+    sqrt(|K⁻¹[u,v,1]|² + 1) per crop pixel."""
+    h, w = depth_crop.shape[:2]
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x = k_inv[0, 0] * u + k_inv[0, 1] * v + k_inv[0, 2]
+    y = k_inv[1, 0] * u + k_inv[1, 1] * v + k_inv[1, 2]
+    norm = jnp.sqrt(x * x + y * y + 1.0 + 1.0)
+    return depth_crop / norm[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=('side_in', 'nexponent',
+                                             'apply_to_depth'))
+def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
+                        side_in, nexponent, apply_to_depth):
+    """(B, Hc, Wc, 1) float32 raw-depth canvases -> (B, side_in, side_in, 1)
+    enhanced depth inputs. `thresh` is the per-sample dataset validity
+    threshold (0.1 ntu / 0.5 pku), enabling mixed-dataset batches."""
+    crops = warp.warp_batch(canvases, homographies, (side_in, side_in),
+                            extents)
+    if apply_to_depth:
+        crops = jax.vmap(to_depth_correction)(crops, k_invs)
+    crops = crops / (10.0 / 255.0)
+    veil = (thresh[:, None, None, None] <= crops).astype(jnp.float32)
+    if nexponent:
+        return jnp.exp(-crops) * veil
+    return crops / 3.0

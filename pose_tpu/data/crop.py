@@ -1,0 +1,121 @@
+"""Host-side per-sample crop geometry.
+
+The reference's DataLoader workers do the whole warp on CPU per sample
+(datasets.py:78-121 -> cv2.remap). Here the host only runs the *small-matrix*
+part — synthesizing the virtual crop camera and its 3x3 homography plus GT
+coordinate transforms — and ships pixels untouched; the per-pixel warp,
+photometric augmentation and normalization run batched on the TPU
+(pose_tpu.data.augment).
+
+`build_crop` replicates the get_input_image camera sequence exactly
+(datasets.py:86-116): turn_towards(bbox center) -> undistort ->
+square_pixels -> fit the bbox far side to side_in -> center principal point
+-> optional random zoom -> optional horizontal flip.
+"""
+
+import numpy as np
+
+from ..geometry import camera as cameralib
+
+
+def build_crop(cam, bbox, side_in, do_flip, random_zoom, geometry_aug):
+    """Returns (new_cam, warp_matrices) for one sample.
+
+    warp_matrices describes the output-pixel -> source-pixel lookup:
+      - if the source camera is undistorted: a single (3, 3) `homography`
+        (cameralib.py:672-674) usable by ops.warp.warp_batch;
+      - if distorted: the `partial_homography` R_old @ R_newˉ¹ @ K_newˉ¹ plus
+        the source intrinsics/distortion for ops.warp.warp_single_distorted
+        (cameralib.py:415-421).
+    """
+    bbox = np.asarray(bbox, np.float32)
+    center = bbox[:2] + bbox[2:] / 2
+
+    width = np.array([bbox[2] / 2, 0])
+    height = np.array([0, bbox[3] / 2])
+    if bbox[2] < bbox[3]:
+        far_side = np.stack([center - height, center + height])
+    else:
+        far_side = np.stack([center - width, center + width])
+
+    new_cam = cam.copy()
+    new_cam.turn_towards(center)
+    new_cam.undistort()
+    new_cam.square_pixels()
+
+    far = new_cam.world_to_image(cam.image_to_world(far_side))
+    far_dist = np.linalg.norm(far[0] - far[1])
+    new_cam.zoom(side_in / far_dist)
+    new_cam.center_principal_point((side_in, side_in))
+
+    if geometry_aug:
+        new_cam.zoom(random_zoom)
+    if do_flip:
+        new_cam.horizontal_flip()
+
+    if cam.distortion_coeffs is None:
+        old_matrix = cam.intrinsic_matrix @ cam.R
+        new_matrix = new_cam.intrinsic_matrix @ new_cam.R
+        homography = (old_matrix @ np.linalg.inv(new_matrix)).astype(np.float32)
+        matrices = dict(homography=homography)
+    else:
+        partial = (cam.R @ np.linalg.inv(new_cam.R)
+                   @ np.linalg.inv(new_cam.intrinsic_matrix)).astype(np.float32)
+        dist = np.zeros(5, np.float32)
+        dist[:len(cam.distortion_coeffs)] = cam.distortion_coeffs
+        matrices = dict(partial_homography=partial,
+                        old_intrinsics=cam.intrinsic_matrix.astype(np.float32),
+                        dist_coeffs=dist)
+    return new_cam, matrices
+
+
+def transform_gt(sample_camera, new_cam, world_coords, valid, mirror, do_flip,
+                 at_test):
+    """GT world -> crop-camera coords, with flip mirroring and the test-time
+    back-rotation (datasets.py:133-144)."""
+    camera_coords = new_cam.world_to_camera(np.asarray(world_coords,
+                                                       np.float32))
+    valid = np.asarray(valid)
+    if do_flip:
+        camera_coords = camera_coords[mirror]
+        valid = valid[mirror]
+    back_rotate = None
+    if at_test:
+        back_rotate = sample_camera.R @ new_cam.R.T
+    return camera_coords.astype(np.float32), valid, back_rotate
+
+
+def pad_to_canvas(image, canvas_hw):
+    """Zero-pad a (h, w, c) image onto a fixed canvas, returning the canvas
+    and the true (h, w) extent. Oversized images are downscaled about the
+    origin first (equivalently: the homography is pre-scaled) so no pixels are
+    lost; the caller folds `prescale` into the homography."""
+    ch, cw = canvas_hw
+    h, w = image.shape[:2]
+    prescale = 1.0
+    if h > ch or w > cw:
+        prescale = min(ch / h, cw / w)
+        new_h = max(1, int(np.floor(h * prescale)))
+        new_w = max(1, int(np.floor(w * prescale)))
+        prescale_y = new_h / h
+        prescale_x = new_w / w
+        # area-average downscale on host (rare path: canvas fits the sample
+        # stores produced by the offline tools)
+        ys = (np.arange(new_h) / prescale_y).astype(np.int32)
+        xs = (np.arange(new_w) / prescale_x).astype(np.int32)
+        image = image[ys][:, xs]
+        prescale = (prescale_x + prescale_y) / 2
+        h, w = image.shape[:2]
+    canvas = np.zeros((ch, cw) + image.shape[2:], image.dtype)
+    canvas[:h, :w] = image
+    return canvas, np.array([h, w], np.int32), np.float32(prescale)
+
+
+def scale_homography(homography, prescale):
+    """Fold a source-image prescale into the lookup homography: source coords
+    shrink by `prescale` (cameralib.py:689)."""
+    if prescale == 1.0:
+        return homography
+    out = np.array(homography, np.float32)
+    out[:2] *= prescale
+    return out

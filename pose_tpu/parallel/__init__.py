@@ -1,0 +1,2 @@
+from .mesh import (batch_sharding, make_mesh, replicated_sharding,
+                   shard_batch, shard_replicated)

@@ -1,0 +1,267 @@
+"""Depth/fusion/distillation training engine (reference: depth_train.py).
+
+Three train modes dispatched by flags (depth_train.py:465-474): vanilla
+(single modality), fusion (two-input model), distill (frozen teacher +
+feature distillation, optional semi-supervised extra batches). Metric
+thresholds and the no-depth flag come from the machine-local metadata.json
+(depth_train.py:58-62); -save_last dumps last-stage features and predictions
+per batch (utils.py:45-65).
+"""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from .. import metrics
+from . import schedules, steps
+from .engine import BaseTrainer, _to_host, back_rotate
+
+
+def load_metadata(args):
+    with open(args.metadata_path) as file:
+        return json.load(file)
+
+
+def save_array(array, i_batch, last_path):
+    """utils.save_array (utils.py:45-52)."""
+    save_file = os.path.join(last_path, 'batch_' + str(i_batch) + '_spec.npy')
+    if os.path.exists(save_file):
+        return
+    with open(save_file, 'wb') as file:
+        np.save(file, array)
+
+
+def save_tensor(tensor, i_batch, last_path):
+    """utils.save_tensor (utils.py:55-65)."""
+    if not os.path.exists(last_path):
+        os.makedirs(last_path, exist_ok=True)
+    save_file = os.path.join(last_path, 'batch_' + str(i_batch) + '.npy')
+    if os.path.exists(save_file):
+        return
+    with open(save_file, 'wb') as file:
+        np.save(file, np.asarray(tensor))
+
+
+class DepthTrainer(BaseTrainer):
+    def __init__(self, args, model, data_info, mesh=None):
+        super().__init__(args, model, data_info, mesh)
+
+        metadata = load_metadata(args)
+        self.no_depth = metadata['no_depth'][args.data_name]
+        self.thresh = metadata['thresholds'][args.data_name]
+
+        self.save_last = args.save_last
+        root_me = os.path.dirname(args.metadata_path)
+        self.last_path = os.path.join(root_me, 'last_' + args.data_name,
+                                      args.suffix)
+
+        self.teacher = None
+        self.teacher_vars = None
+        self.semi_loader = None
+        self.semi_worker = None
+
+        key = data_info.key_index
+        self._vanilla_step = None
+        self._fusion_step = None
+        self._distill_step = None
+        self._eval_step = steps.make_depth_eval_step(
+            model, args, key, fusion=args.do_fusion and not args.do_teach)
+
+    def set_teacher(self, teacher, teacher_vars):
+        self.teacher = teacher
+        self.teacher_vars = teacher_vars
+
+    def set_semi_loader(self, loader):
+        self.semi_loader = loader
+        self.semi_worker = iter(loader)
+
+    def _next_semi_batch(self):
+        try:
+            return next(self.semi_worker)
+        except StopIteration:
+            self.semi_worker = iter(self.semi_loader)
+            return next(self.semi_worker)
+
+    # ------------------------------------------------------------- training
+
+    def train(self, epoch, data_loader):
+        lr = schedules.depth_learn_rate(self.args, epoch)
+        if self.args.do_teach:
+            return self.distill_train(epoch, data_loader, lr)
+        if self.args.do_fusion:
+            return self.fusion_train(epoch, data_loader, lr)
+        return self.vanilla_train(epoch, data_loader, lr)
+
+    def vanilla_train(self, epoch, data_loader, lr):
+        if self._vanilla_step is None:
+            self._vanilla_step = steps.make_vanilla_train_step(
+                self.model, self.args, self.data_info.key_index, self.tx)
+        n_batches = len(data_loader)
+        loss_avg, total = 0.0, 0
+        for i_batch, batch in enumerate(data_loader):
+            in_image = (batch['depth'] if self.args.depth_only
+                        else batch['color'])
+            device_batch = dict(in_image=in_image,
+                                true_cam=batch['true_cam'],
+                                true_val=batch['true_val'])
+            b = len(in_image)
+            self.state, out = self._vanilla_step(
+                self.state, self._shard(device_batch), lr)
+            loss = float(out['cam_loss'])
+            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                  % (epoch, i_batch, n_batches, loss), flush=True)
+            loss_avg += loss * b
+            total += b
+        loss_avg /= max(total, 1)
+        print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
+        return dict(cam_train_loss=loss_avg)
+
+    def fusion_train(self, epoch, data_loader, lr):
+        if self._fusion_step is None:
+            self._fusion_step = steps.make_fusion_train_step(
+                self.model, self.args, self.data_info.key_index, self.tx)
+        n_batches = len(data_loader)
+        loss_avg, total = 0.0, 0
+        for i_batch, batch in enumerate(data_loader):
+            device_batch = dict(color=batch['color'], depth=batch['depth'],
+                                true_cam=batch['true_cam'],
+                                true_val=batch['true_val'])
+            b = len(batch['color'])
+            self.state, out = self._fusion_step(
+                self.state, self._shard(device_batch), lr)
+            loss = float(out['cam_loss'])
+            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                  % (epoch, i_batch, n_batches, loss))
+            loss_avg += loss * b
+            total += b
+        loss_avg /= max(total, 1)
+        print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
+        return dict(cam_train_loss=loss_avg)
+
+    def distill_train(self, epoch, data_loader, lr):
+        if self._distill_step is None:
+            self._distill_step = steps.make_distill_train_step(
+                self.model, self.teacher, self.args,
+                self.data_info.key_index, self.tx,
+                teacher_is_fusion=self.args.do_fusion,
+                with_semi=self.args.semi_teach)
+        alpha = schedules.dist_weight(self.args, epoch)
+        print('\n=> alpha value: {:.2f}'.format(alpha))
+
+        n_batches = len(data_loader)
+        cam_loss_sum = dist_loss_sum = 0.0
+        cam_loss_samples = dist_loss_samples = 0
+        for i_batch, batch in enumerate(data_loader):
+            full_batch = len(batch['color'])
+            device_batch = dict(color=batch['color'], depth=batch['depth'],
+                                true_cam=batch['true_cam'],
+                                true_val=batch['true_val'],
+                                atten_map=batch['atten_map'])
+            if self.args.semi_teach:
+                semi = self._next_semi_batch()
+                semi_batch = len(semi['color'])
+                semi_device = dict(color=semi['color'], depth=semi['depth'],
+                                   atten_map=semi['atten_map'])
+                self.state, out = self._distill_step(
+                    self.state, self.teacher_vars, self._shard(device_batch),
+                    lr, alpha, self._shard(semi_device))
+            else:
+                self.state, out = self._distill_step(
+                    self.state, self.teacher_vars, self._shard(device_batch),
+                    lr, alpha)
+
+            cam_loss = float(out['cam_loss'])
+            dist_loss = float(out['dist_loss'])
+            cam_loss_sum += cam_loss * full_batch
+            cam_loss_samples += full_batch
+            dist_loss_sum += dist_loss * full_batch
+            dist_loss_samples += full_batch
+
+            message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
+                epoch, i_batch, n_batches)
+            message += ' Cam Loss {:.4f} '.format(cam_loss)
+            message += ' Dist Loss {:.4f} '.format(dist_loss)
+            if self.args.semi_teach:
+                semi_loss = float(out['semi_loss'])
+                dist_loss_sum += semi_loss * semi_batch
+                dist_loss_samples += semi_batch
+                message += ' Semi Loss {:.4f}'.format(semi_loss)
+            print(message)
+
+        cam_loss_sum /= max(cam_loss_samples, 1)
+        dist_loss_sum /= max(dist_loss_samples, 1)
+        print('\n=> train Epoch[%d]  Cam Loss: %1.4f  Dist Loss: %1.4f\n\n'
+              % (epoch, cam_loss_sum, dist_loss_sum))
+        return dict(dist_train_loss=dist_loss_sum, cam_train_loss=cam_loss_sum)
+
+    # ------------------------------------------------------------ evaluation
+
+    def test(self, epoch, test_loader):
+        if self.args.do_fusion and not self.args.do_teach:
+            return self.fusion_test(epoch, test_loader)
+        return self.vanilla_test(epoch, test_loader)
+
+    def _eval_batches(self, test_loader, fusion):
+        """Yield (size, device_batch, host_batch) adapting no-depth datasets
+        (depth_train.py:28-37)."""
+        for batch in test_loader:
+            if fusion:
+                device_batch = dict(color=batch['color'],
+                                    depth=batch['depth'],
+                                    true_cam=batch['true_cam'],
+                                    true_val=batch['true_val'])
+                size = len(batch['color'])
+            else:
+                if self.no_depth:
+                    in_image = batch['image' if 'image' in batch else 'color']
+                else:
+                    in_image = (batch['depth'] if self.args.depth_only
+                                else batch['color'])
+                device_batch = dict(in_image=in_image,
+                                    true_cam=batch['true_cam'],
+                                    true_val=batch['true_val'])
+                size = len(in_image)
+            yield size, device_batch, batch
+
+    def _test_loop(self, epoch, test_loader, fusion):
+        n_batches = len(test_loader)
+        loss_avg, total = 0.0, 0
+        cam_stats = []
+        for i_batch, (b, device_batch, host_batch) in enumerate(
+                self._eval_batches(test_loader, fusion)):
+            out = _to_host(self._eval_step(self.state,
+                                           self._shard(device_batch)))
+            loss = float(out['cam_loss'])
+            loss_avg += loss * b
+            total += b
+
+            true_val = np.asarray(host_batch['true_val']).astype(bool)
+            color_br = np.asarray(host_batch['back_rotation'])
+            spec_cam = back_rotate(color_br, out['spec_cam'])
+            true_cam = back_rotate(color_br,
+                                   np.asarray(host_batch['true_cam']))
+            if self.save_last:
+                os.makedirs(self.last_path, exist_ok=True)
+                save_array(spec_cam, i_batch, self.last_path)
+                save_tensor(out['last_feat'], i_batch, self.last_path)
+            cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
+                                             self.data_info.mirror,
+                                             self.thresh))
+            print('| test Epoch[%d] [%d/%d]  Cam Loss %1.4f'
+                  % (epoch, i_batch, n_batches, loss))
+        loss_avg /= max(total, 1)
+        record = dict(test_loss=loss_avg)
+        record.update(metrics.parse_epoch(cam_stats))
+        print('\n=> test Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
+        print('=>[SPEC] cam_mean: %1.3f  [pck]: %1.3f  [auc]: %1.3f\n'
+              % (record['cam_mean'], record['score_pck'], record['score_auc']))
+        return record
+
+    def fusion_test(self, epoch, test_loader):
+        return self._test_loop(epoch, test_loader, fusion=True)
+
+    def vanilla_test(self, epoch, test_loader):
+        return self._test_loop(epoch, test_loader, fusion=False)

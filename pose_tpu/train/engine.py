@@ -1,0 +1,228 @@
+"""Host-side training engines.
+
+The reference's Trainer classes (train.py:12, depth_train.py:40) survive as
+thin epoch/batch orchestrators: all per-batch compute lives in the jitted
+steps (steps.py); here we pick the step variant from flags, feed sharded
+batches, and keep the reference's exact console output and record dicts so
+downstream tooling (log.Logger, run_test.sh parsing) is unchanged.
+"""
+
+import numpy as np
+
+import jax
+
+from .. import metrics
+from ..parallel import make_mesh, shard_batch, shard_replicated
+from . import schedules, steps
+
+
+class JointInfo:
+    """Skeleton metadata record (reference: utils.py:146-151)."""
+
+    def __init__(self, short_names, parent, mirror, key_index):
+        self.short_names = short_names
+        self.parent = parent
+        self.mirror = mirror
+        self.key_index = key_index
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def back_rotate(back_rotation, cam):
+    """spec/true rotation back to the original camera (train.py:269-270)."""
+    return np.einsum('Bij,BCj->BCi', back_rotation, cam)
+
+
+class BaseTrainer:
+    def __init__(self, args, model, data_info, mesh=None):
+        self.args = args
+        self.model = model
+        self.data_info = data_info
+        self.mesh = mesh if mesh is not None else make_mesh(args.n_cudas)
+        self.tx = steps.make_optimizer(args)
+        self.state = None
+
+    def init_state(self, sample_inputs, rng=None):
+        self.state = steps.init_state(self.model, self.args, self.tx,
+                                      sample_inputs, rng)
+        self.state = shard_replicated(self.mesh, self.state)
+        return self.state
+
+    def load_state(self, state):
+        self.state = shard_replicated(self.mesh, state)
+
+    def _shard(self, batch):
+        return shard_batch(self.mesh, batch)
+
+
+class RgbTrainer(BaseTrainer):
+    """train.py semantics: cam_train/joint_train + cam_test/joint_test."""
+
+    def __init__(self, args, model, data_info, mesh=None):
+        super().__init__(args, model, data_info, mesh)
+        self.thresh = dict(solid=args.thresh_solid, close=args.thresh_close,
+                           rough=args.thresh_rough)
+        key = data_info.key_index
+        self._cam_step = None
+        self._joint_steps = {}
+        self._eval_step = steps.make_rgb_eval_step(model, args, key)
+
+    def _get_cam_step(self):
+        if self._cam_step is None:
+            self._cam_step = steps.make_cam_train_step(
+                self.model, self.args, self.data_info.key_index, self.tx)
+        return self._cam_step
+
+    def _get_joint_step(self, do_track):
+        if do_track not in self._joint_steps:
+            self._joint_steps[do_track] = steps.make_joint_train_step(
+                self.model, self.args, self.data_info.key_index, self.tx,
+                do_track)
+        return self._joint_steps[do_track]
+
+    def train(self, epoch, data_loader):
+        lr = schedules.rgb_learn_rate(self.args, epoch)
+        if self.args.joint_space:
+            return self.joint_train(epoch, data_loader, lr)
+        return self.cam_train(epoch, data_loader, lr)
+
+    def cam_train(self, epoch, data_loader, lr):
+        step = self._get_cam_step()
+        n_batches = len(data_loader)
+        loss_avg, total = 0.0, 0
+        for i, batch in enumerate(data_loader):
+            b = len(batch['image'])
+            self.state, out = step(self.state, self._shard(batch), lr)
+            loss = float(out['cam_loss'])
+            loss_avg += loss * b
+            total += b
+            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                  % (epoch, i, n_batches, loss))
+        loss_avg /= max(total, 1)
+        print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
+        return dict(cam_train_loss=loss_avg)
+
+    def joint_train(self, epoch, data_loader, lr):
+        do_track = self.args.do_track and (epoch != 1)
+        step = self._get_joint_step(do_track)
+        n_batches = len(data_loader)
+        cam_avg = mat_avg = recon_avg = 0.0
+        total = 0
+        for i, batch in enumerate(data_loader):
+            b = len(batch['image'])
+            self.state, out = step(self.state, self._shard(batch), lr)
+            cam, mat = float(out['cam_loss']), float(out['mat_loss'])
+            rec = float(out['recon_loss'])
+            cam_avg += cam * b
+            mat_avg += mat * b
+            recon_avg += rec * b
+            total += b
+            message = '| train Epoch[%d] [%d/%d]' % (epoch, i, n_batches)
+            message += '  Cam Loss: %1.4f' % cam
+            message += '  Mat Loss: %1.4f' % mat
+            if do_track:
+                message += '  Recon Loss: %1.4f' % rec
+            print(message)
+        cam_avg /= max(total, 1)
+        mat_avg /= max(total, 1)
+        recon_avg /= max(total, 1)
+        message = ('=> train Epoch[%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
+                   % (epoch, cam_avg, mat_avg))
+        if do_track:
+            message += '  Recon Loss: %1.4f' % recon_avg
+        print('\n' + message + '\n')
+        return dict(cam_train_loss=cam_avg, mat_train_loss=mat_avg,
+                    recon_train_loss=recon_avg)
+
+    def test(self, epoch, test_loader):
+        if self.args.joint_space:
+            return self.joint_test(epoch, test_loader)
+        return self.cam_test(epoch, test_loader)
+
+    def cam_test(self, epoch, test_loader):
+        n_batches = len(test_loader)
+        loss_avg, total = 0.0, 0
+        cam_stats = []
+        for i, batch in enumerate(test_loader):
+            b = len(batch['image'])
+            out = _to_host(self._eval_step(self.state, self._shard(batch)))
+            loss_avg += float(out['cam_loss']) * b
+            total += b
+            true_val = np.asarray(batch['true_val']).astype(bool)
+            spec_cam = back_rotate(batch['back_rotation'], out['spec_cam'])
+            true_cam = back_rotate(batch['back_rotation'],
+                                   np.asarray(batch['true_cam']))
+            cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
+                                             self.data_info.mirror,
+                                             self.thresh))
+            print('| test Epoch[%d] [%d/%d]  Cam Loss %1.4f'
+                  % (epoch, i, n_batches, float(out['cam_loss'])))
+        loss_avg /= max(total, 1)
+        record = dict(test_loss=loss_avg)
+        record.update(metrics.parse_epoch(cam_stats))
+        print('\n=> test Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
+        print('=>[SPEC] cam_mean: %1.3f  [pck]: %1.3f  [auc]: %1.3f\n'
+              % (record['cam_mean'], record['score_pck'], record['score_auc']))
+        return record
+
+    def joint_test(self, epoch, test_loader):
+        n_batches = len(test_loader)
+        cam_avg = mat_avg = 0.0
+        total = 0
+        mat_stats, cam_stats, det_stats = [], [], []
+        for i, batch in enumerate(test_loader):
+            b = len(batch['image'])
+            out = _to_host(self._eval_step(self.state, self._shard(batch)))
+            cam_loss = float(out['cam_loss'])
+            mat_loss = float(out['mat_loss'])
+            cam_avg += cam_loss * b
+            mat_avg += mat_loss * b
+            total += b
+            print('| test Epoch[%d] [%d/%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
+                  % (epoch, i, n_batches, cam_loss, mat_loss))
+
+            true_val = np.asarray(batch['true_val']).astype(bool)
+            spec_mat = out['spec_mat']
+            true_mat = np.asarray(batch['true_mat'])
+            mat_stats.append(metrics.analyze_mat(spec_mat, true_mat, true_val,
+                                                 self.args.side_in))
+
+            spec_cam = back_rotate(batch['back_rotation'], out['spec_cam'])
+            true_cam = back_rotate(batch['back_rotation'],
+                                   np.asarray(batch['true_cam']))
+            cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
+                                             self.data_info.mirror,
+                                             self.thresh))
+
+            if self.args.do_track:
+                from ..ops import recon as recon_ops
+                import jax.numpy as jnp
+                deter = np.asarray(recon_ops.recon_root(
+                    jnp.asarray(spec_mat), jnp.asarray(out['relat_cam']),
+                    jnp.asarray(batch['intrinsics'])))
+                deter = back_rotate(batch['back_rotation'], deter)
+                det_stats.append(metrics.analyze(deter, true_cam, true_val,
+                                                 self.data_info.mirror,
+                                                 self.thresh))
+
+        cam_avg /= max(total, 1)
+        mat_avg /= max(total, 1)
+        record = dict(cam_test_loss=cam_avg, mat_test_loss=mat_avg)
+        record.update(metrics.parse_epoch_mat(mat_stats))
+        record.update(metrics.parse_epoch(cam_stats))
+        print('\n=> test Epoch[%d]  Cam Loss: %1.4f  Mat Loss: %1.4f\n'
+              % (epoch, cam_avg, mat_avg))
+        print('=> mat_mean: %1.3f  [oks]: %1.3f\n'
+              % (record['mat_mean'], record['score_oks']))
+        print('=>[SPEC] cam_mean: %1.3f  [pck]: %1.3f  [auc]: %1.3f\n'
+              % (record['cam_mean'], record['score_pck'], record['score_auc']))
+        if self.args.do_track:
+            track_rec = metrics.parse_epoch(det_stats)
+            print('=>[DETER] cam_mean: %1.3f  [pck]: %1.3f  [auc]: %1.3f\n'
+                  % (track_rec['cam_mean'], track_rec['score_pck'],
+                     track_rec['score_auc']))
+            for key in track_rec:
+                record['recon_' + key] = track_rec[key]
+        return record
