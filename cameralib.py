@@ -1,0 +1,53 @@
+"""Module-path shim: the reference's sample pickles contain
+`cameralib.Camera` instances (data_groups.py, depth_groups.py), so this name
+must resolve for them to unpickle. All functionality lives in
+pose_tpu.geometry.camera."""
+
+from pose_tpu.geometry.camera import *          # noqa: F401,F403
+from pose_tpu.geometry.camera import (Camera, get_affine, get_homography,
+                                      look_at_box, look_at_skeleton,
+                                      project_points, reproject_points,
+                                      reproject_points_fast, triangulate,
+                                      triangulate_single, undistort_points,
+                                      calibrate_extrinsics,
+                                      camera_in_new_world,
+                                      build_extrinsic_matrix,
+                                      allclose_or_nones)
+
+
+def reproject_image(image, old_camera, new_camera, output_imshape, **kwargs):
+    """Host-side single-image warp for the offline tools (cameralib.py:378).
+    The training path never calls this — it uses the batched on-device
+    kernels in pose_tpu.ops.warp."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pose_tpu.ops import warp
+    from pose_tpu.geometry.camera import get_homography as _gh
+
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[..., None]
+    orig_dtype = image.dtype
+    img = image.astype(np.float32)
+    if new_camera.distortion_coeffs is None and (
+            old_camera.distortion_coeffs is not None):
+        partial = (old_camera.R @ np.linalg.inv(new_camera.R)
+                   @ np.linalg.inv(new_camera.intrinsic_matrix)).astype(np.float32)
+        dist = np.zeros(5, np.float32)
+        dist[:len(old_camera.distortion_coeffs)] = old_camera.distortion_coeffs
+        out = np.asarray(warp.warp_single_distorted(
+            jnp.asarray(img), jnp.asarray(partial),
+            jnp.asarray(old_camera.intrinsic_matrix.astype(np.float32)),
+            jnp.asarray(dist), tuple(output_imshape)))
+    else:
+        hom = _gh(old_camera, new_camera).astype(np.float32)
+        out = np.asarray(warp.warp_single(jnp.asarray(img), jnp.asarray(hom),
+                                          tuple(output_imshape)))
+    if orig_dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out
+
+
+def reproject_image_fast(image, old_camera, new_camera, output_imshape,
+                         *args, **kwargs):
+    return reproject_image(image, old_camera, new_camera, output_imshape)

@@ -1,0 +1,361 @@
+"""Host data loader feeding the on-device preprocessing pipeline.
+
+Replaces the reference's torch DataLoader + per-sample cv2 hot loop
+(datasets.py:22-154, depth_datasets.py:23-263). Per sample, the host only:
+decodes the image, draws flip/zoom, synthesizes the crop camera (3x3 math)
+and transforms the GT joints. Pixels ship as zero-padded uint8 canvases; the
+batched warp + photometric chain + normalization run as one jitted program on
+the TPU (pose_tpu.data.augment), and batches are sharded over the mesh before
+augmentation so preprocessing scales with the data-parallel axis.
+
+Randomness: flip/zoom are drawn from a numpy RandomState seeded per
+(seed, epoch, index) — reproducible and worker-count independent; the
+on-device colour chain consumes jax.random keys folded per batch. The same
+flip/zoom draw is shared between the RGB and depth modalities of one sample
+(depth_datasets.py:203-208).
+
+The joint-space dataset variant (true 2D coords + intrinsics) is
+reconstructed from the trainer's expectations (train.py:67, :218) since the
+reference snapshot never produces it — SURVEY.md §7 item 5.
+"""
+
+import os
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+from ..geometry import camera as cameralib
+from ..parallel import make_mesh, shard_batch
+from ..ops import heatmap as heatmap_ops
+from . import augment, crop, samples as sample_lib
+
+
+def imread(path):
+    """matplotlib.image.imread semantics (datasets.py:118): PNG -> float32 in
+    [0, 1] (16-bit scaled by 65535), everything else -> uint8."""
+    with Image.open(path) as img:
+        arr = np.asarray(img)
+    if os.path.splitext(path)[1].lower() == '.png':
+        if arr.dtype == np.uint16 or arr.dtype == np.int32:
+            return arr.astype(np.float32) / 65535.0
+        return arr.astype(np.float32) / 255.0
+    return arr
+
+
+def attention_map(side_in, stride, image_coords, attention):
+    """Host replica of utils.get_attention (utils.py:14-42)."""
+    side_out = (side_in - 1) // stride + 1
+    if not attention:
+        return np.ones((1, side_out, side_out), np.float32)
+    cx, cy = np.meshgrid(np.arange(side_out), np.arange(side_out))
+    cx = np.expand_dims(cx, -1)
+    cy = np.expand_dims(cy, -1)
+    dist_x = cx - image_coords[:, 0] / (side_in / side_out)
+    dist_y = cy - image_coords[:, 1] / (side_in / side_out)
+    radial = np.exp(-(dist_x ** 2 + dist_y ** 2) / 5.0).sum(axis=-1)
+    radial = radial / np.amax(radial)
+    return radial[None].astype(np.float32)
+
+
+class PoseLoader:
+    """RGB loader (reference Dataset, datasets.py:36-154).
+
+    Yields dict batches with device-resident, mesh-sharded arrays:
+      train: image, true_cam, true_val [+ true_mat, intrinsics]
+      test:  + back_rotation (host numpy)
+    """
+
+    def __init__(self, args, phase, data_info, samples=None, mesh=None,
+                 canvas=None, seed=0):
+        assert len(data_info.short_names) == args.num_joints
+        self.args = args
+        self.phase = phase
+        self.data_info = data_info
+        self.at_test = phase != 'train'
+        self.mesh = mesh if mesh is not None else make_mesh(args.n_cudas)
+
+        if samples is None:
+            metadata = sample_lib.load_metadata(args)
+            root = metadata['root'][args.data_name]
+            samples = sample_lib.get_samples(args.data_name, root, phase)
+        self.samples = samples
+
+        self.side_in = args.side_in
+        self.colour = args.colour and (not self.at_test)
+        self.geometry = args.geometry and (not self.at_test)
+        self.eraser = args.eraser and (not self.at_test)
+        self.occluder = args.occluder and (not self.at_test)
+        self.random_zoom = args.random_zoom
+        self.joint_space = getattr(args, 'joint_space', False)
+        self.batch_size = args.batch_size
+        self.shuffle = args.shuffle and (not self.at_test)
+        self.seed = seed
+        self.epoch = 0
+
+        self.canvas = canvas or (512, 512)
+        self._occ_bank = None
+        if self.occluder and args.occ_path:
+            from ..ops.occluder import load_occluder_bank
+            self._occ_bank = load_occluder_bank(args.occ_path, args.occ_count)
+
+    def __len__(self):
+        return (len(self.samples) + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    # ------------------------------------------------------------ per sample
+
+    def _rng(self, index):
+        return np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 9176 + index) % (2 ** 31))
+
+    def parse_sample(self, sample, index):
+        rng = self._rng(index)
+        do_flip = (not self.at_test) and (rng.rand() < 0.5)
+        random_zoom = rng.uniform(self.random_zoom, self.random_zoom ** (-1))
+
+        cam = sample['camera']
+        new_cam, matrices = crop.build_crop(cam, sample['bbox'], self.side_in,
+                                            do_flip, random_zoom,
+                                            self.geometry)
+        image = imread(sample['image'])
+        if image.ndim == 2:
+            image = image[..., None].repeat(3, axis=-1)
+        image = image[..., :3]
+        if image.dtype != np.uint8:
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
+        hom = crop.scale_homography(matrices['homography'], prescale) \
+            if 'homography' in matrices else None
+        if hom is None:
+            raise NotImplementedError(
+                'distorted source cameras go through warp_single_distorted; '
+                'the sample stores produced by the offline tools are '
+                'undistorted (data_groups.py:36-70)')
+
+        camera_coords, valid, back_rotate = crop.transform_gt(
+            cam, new_cam, sample['skeleton'], sample['valid'],
+            self.data_info.mirror, do_flip, self.at_test)
+
+        out = dict(canvas=canvas, extent=extent, homography=hom,
+                   true_cam=camera_coords,
+                   true_val=valid.astype(bool))
+        if self.joint_space:
+            out['true_mat'] = new_cam.camera_to_image(
+                camera_coords).astype(np.float32)
+            out['intrinsics'] = new_cam.intrinsic_matrix.astype(np.float32)
+        if back_rotate is not None:
+            out['back_rotation'] = back_rotate.astype(np.float32)
+        return out
+
+    # -------------------------------------------------------------- batching
+
+    def _order(self):
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def _collate(self, parsed):
+        keys = parsed[0].keys()
+        return {k: np.stack([p[k] for p in parsed]) for k in keys}
+
+    def _pad_to_mesh(self, batch):
+        n = len(batch['canvas'])
+        m = self.mesh.devices.size
+        if n % m == 0:
+            return batch, n
+        pad = m - n % m
+        out = {}
+        for k, v in batch.items():
+            reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+            out[k] = reps
+        out['true_val'][n:] = False  # padded rows carry no loss/metric weight
+        return out, n
+
+    def _finalize(self, batch, i_batch):
+        batch, true_n = self._pad_to_mesh(batch)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
+        host_extras = {}
+        for k in ('back_rotation',):
+            if k in batch:
+                host_extras[k] = batch.pop(k)[:true_n]
+
+        device = shard_batch(self.mesh, {
+            'canvas': batch.pop('canvas'),
+            'homography': batch.pop('homography'),
+            'extent': batch.pop('extent')})
+        if self._occ_bank is not None:
+            sprites, alphas, shapes = self._occ_bank
+            image = augment.process_color_batch_occluded(
+                device['canvas'], device['homography'], device['extent'], key,
+                sprites, alphas, shapes, self.side_in, self.colour,
+                self.eraser)
+        else:
+            image = augment.process_color_batch(
+                device['canvas'], device['homography'], device['extent'], key,
+                self.side_in, self.colour, self.eraser)
+
+        out = dict(image=image)
+        out.update(shard_batch(self.mesh, batch))
+        out.update(host_extras)
+        out['_true_size'] = true_n
+        return out
+
+    def __iter__(self):
+        order = self._order()
+        bs = self.batch_size
+        batches = [order[i:i + bs] for i in range(0, len(order), bs)]
+
+        def produce(q):
+            for i_batch, idxs in enumerate(batches):
+                parsed = [self.parse_sample(self.samples[i], int(i))
+                          for i in idxs]
+                q.put((i_batch, self._collate(parsed)))
+            q.put(None)
+
+        q = queue.Queue(maxsize=2)
+        thread = threading.Thread(target=produce, args=(q,), daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            i_batch, batch = item
+            yield self._finalize(batch, i_batch)
+
+        if not self.at_test:
+            self.epoch += 1
+
+
+class DepthPoseLoader(PoseLoader):
+    """Depth/fusion loader (reference depth Dataset,
+    depth_datasets.py:59-263): runs the crop machinery twice per sample —
+    once for RGB, once for the depth image with its own camera and depth_bbox
+    sharing the same flip/zoom draw — and applies the enhance transform
+    on device.
+    """
+
+    def __init__(self, args, phase, data_info, samples=None, mesh=None,
+                 canvas=None, depth_canvas=None, seed=0, root=None):
+        if samples is None or root is None:
+            metadata = sample_lib.load_metadata(args)
+            root = root or metadata['root'][args.data_name]
+            if samples is None:
+                samples = sample_lib.get_samples(args.data_name, root, phase)
+        super().__init__(args, phase, data_info, samples, mesh, canvas, seed)
+        self.root = root
+        self.depth_canvas = depth_canvas or (424, 512)
+        self.depth_cams = sample_lib.load_depth_cameras(args.data_name, root)
+        self.do_teach = args.do_teach
+        self.attention = args.attention
+        self.stride = args.stride
+        self.nexponent = args.nexponent
+        self.apply_to_depth = args.to_depth
+        self.enhance_thresh = 0.1 if args.data_name == 'ntu' else 0.5
+
+    def parse_sample(self, sample, index):
+        rng = self._rng(index)
+        do_flip = (not self.at_test) and (rng.rand() < 0.5)
+        random_zoom = rng.uniform(self.random_zoom, self.random_zoom ** (-1))
+
+        cam = sample['camera']
+        depth_cam = sample_lib.depth_cam_for(self.args.data_name,
+                                             self.depth_cams, sample)
+        depth_path = sample_lib.depth_image_path(self.args.data_name,
+                                                 self.root, sample)
+
+        new_cam, matrices = crop.build_crop(cam, sample['bbox'], self.side_in,
+                                            do_flip, random_zoom,
+                                            self.geometry)
+        new_dcam, dmatrices = crop.build_crop(depth_cam, sample['depth_bbox'],
+                                              self.side_in, do_flip,
+                                              random_zoom, self.geometry)
+
+        image = imread(sample['image'])
+        if image.dtype != np.uint8:
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
+        hom = crop.scale_homography(matrices['homography'], prescale)
+
+        depth_image = imread(depth_path)
+        if depth_image.ndim == 3:
+            depth_image = depth_image[..., 0]
+        depth_image = depth_image[..., None].astype(np.float32)
+        dcanvas, dextent, dprescale = crop.pad_to_canvas(depth_image,
+                                                         self.depth_canvas)
+        dhom = crop.scale_homography(dmatrices['homography'], dprescale)
+
+        camera_coords, valid, back_rotate = crop.transform_gt(
+            cam, new_cam, sample['skeleton'], sample['valid'],
+            self.data_info.mirror, do_flip, self.at_test)
+
+        out = dict(canvas=canvas, extent=extent, homography=hom,
+                   depth_canvas=dcanvas, depth_extent=dextent,
+                   depth_homography=dhom,
+                   depth_k_inv=np.linalg.inv(
+                       depth_cam.intrinsic_matrix).astype(np.float32),
+                   true_cam=camera_coords, true_val=valid.astype(bool))
+        if back_rotate is not None:
+            out['back_rotation'] = back_rotate.astype(np.float32)
+        elif self.do_teach:
+            image_coords = new_cam.camera_to_image(camera_coords)
+            out['atten_map'] = attention_map(self.side_in, self.stride,
+                                             image_coords, self.attention)
+        return out
+
+    def _finalize(self, batch, i_batch):
+        batch, true_n = self._pad_to_mesh(batch)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
+        host_extras = {}
+        for k in ('back_rotation',):
+            if k in batch:
+                host_extras[k] = batch.pop(k)[:true_n]
+
+        color_dev = shard_batch(self.mesh, {
+            'canvas': batch.pop('canvas'),
+            'homography': batch.pop('homography'),
+            'extent': batch.pop('extent')})
+        color = augment.process_color_batch(
+            color_dev['canvas'], color_dev['homography'], color_dev['extent'],
+            key, self.side_in, self.colour, self.eraser)
+
+        depth_dev = shard_batch(self.mesh, {
+            'canvas': batch.pop('depth_canvas'),
+            'homography': batch.pop('depth_homography'),
+            'extent': batch.pop('depth_extent'),
+            'k_inv': batch.pop('depth_k_inv')})
+        thresh = np.full((len(depth_dev['canvas']),), self.enhance_thresh,
+                         np.float32)
+        depth = augment.process_depth_batch(
+            depth_dev['canvas'], depth_dev['homography'], depth_dev['extent'],
+            depth_dev['k_inv'], shard_batch(self.mesh, thresh), self.side_in,
+            self.nexponent, self.apply_to_depth)
+
+        if 'atten_map' in batch:
+            # reference layout (B, 1, S, S) -> NHWC (B, S, S, 1) to broadcast
+            # over feature channels in the distill loss
+            batch['atten_map'] = batch['atten_map'].transpose(0, 2, 3, 1)
+
+        out = dict(color=color, depth=depth)
+        out.update(shard_batch(self.mesh, batch))
+        out.update(host_extras)
+        out['_true_size'] = true_n
+        return out
+
+
+def data_loader(args, phase, data_info, **kwargs):
+    """Reference-compatible entry (datasets.data_loader, datasets.py:22-27)."""
+    return PoseLoader(args, phase, data_info, **kwargs)
+
+
+def depth_data_loader(args, phase, data_info, **kwargs):
+    """depth_datasets.data_loader (depth_datasets.py:23-28)."""
+    return DepthPoseLoader(args, phase, data_info, **kwargs)

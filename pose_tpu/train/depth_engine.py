@@ -107,9 +107,9 @@ class DepthTrainer(BaseTrainer):
             device_batch = dict(in_image=in_image,
                                 true_cam=batch['true_cam'],
                                 true_val=batch['true_val'])
-            b = len(in_image)
+            b = self._size(batch, 'color')
             self.state, out = self._vanilla_step(
-                self.state, self._shard(device_batch), lr)
+                self.state, self._shard(device_batch, device_batch.keys()), lr)
             loss = float(out['cam_loss'])
             print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
                   % (epoch, i_batch, n_batches, loss), flush=True)
@@ -129,9 +129,9 @@ class DepthTrainer(BaseTrainer):
             device_batch = dict(color=batch['color'], depth=batch['depth'],
                                 true_cam=batch['true_cam'],
                                 true_val=batch['true_val'])
-            b = len(batch['color'])
+            b = self._size(batch, 'color')
             self.state, out = self._fusion_step(
-                self.state, self._shard(device_batch), lr)
+                self.state, self._shard(device_batch, device_batch.keys()), lr)
             loss = float(out['cam_loss'])
             print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
                   % (epoch, i_batch, n_batches, loss))
@@ -155,22 +155,22 @@ class DepthTrainer(BaseTrainer):
         cam_loss_sum = dist_loss_sum = 0.0
         cam_loss_samples = dist_loss_samples = 0
         for i_batch, batch in enumerate(data_loader):
-            full_batch = len(batch['color'])
+            full_batch = self._size(batch, 'color')
             device_batch = dict(color=batch['color'], depth=batch['depth'],
                                 true_cam=batch['true_cam'],
                                 true_val=batch['true_val'],
                                 atten_map=batch['atten_map'])
             if self.args.semi_teach:
                 semi = self._next_semi_batch()
-                semi_batch = len(semi['color'])
+                semi_batch = semi.get('_true_size', len(semi['color']))
                 semi_device = dict(color=semi['color'], depth=semi['depth'],
                                    atten_map=semi['atten_map'])
                 self.state, out = self._distill_step(
-                    self.state, self.teacher_vars, self._shard(device_batch),
-                    lr, alpha, self._shard(semi_device))
+                    self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
+                    lr, alpha, self._shard(semi_device, semi_device.keys()))
             else:
                 self.state, out = self._distill_step(
-                    self.state, self.teacher_vars, self._shard(device_batch),
+                    self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
                     lr, alpha)
 
             cam_loss = float(out['cam_loss'])
@@ -213,7 +213,7 @@ class DepthTrainer(BaseTrainer):
                                     depth=batch['depth'],
                                     true_cam=batch['true_cam'],
                                     true_val=batch['true_val'])
-                size = len(batch['color'])
+                size = self._size(batch, 'color')
             else:
                 if self.no_depth:
                     in_image = batch['image' if 'image' in batch else 'color']
@@ -223,7 +223,8 @@ class DepthTrainer(BaseTrainer):
                 device_batch = dict(in_image=in_image,
                                     true_cam=batch['true_cam'],
                                     true_val=batch['true_val'])
-                size = len(in_image)
+                size = self._size(batch, 'color' if 'color' in batch
+                                  else 'image')
             yield size, device_batch, batch
 
     def _test_loop(self, epoch, test_loader, fusion):
@@ -233,16 +234,16 @@ class DepthTrainer(BaseTrainer):
         for i_batch, (b, device_batch, host_batch) in enumerate(
                 self._eval_batches(test_loader, fusion)):
             out = _to_host(self._eval_step(self.state,
-                                           self._shard(device_batch)))
+                                           self._shard(device_batch, device_batch.keys())))
             loss = float(out['cam_loss'])
             loss_avg += loss * b
             total += b
 
-            true_val = np.asarray(host_batch['true_val']).astype(bool)
+            true_val = np.asarray(host_batch['true_val']).astype(bool)[:b]
             color_br = np.asarray(host_batch['back_rotation'])
-            spec_cam = back_rotate(color_br, out['spec_cam'])
+            spec_cam = back_rotate(color_br, out['spec_cam'][:b])
             true_cam = back_rotate(color_br,
-                                   np.asarray(host_batch['true_cam']))
+                                   np.asarray(host_batch['true_cam'])[:b])
             if self.save_last:
                 os.makedirs(self.last_path, exist_ok=True)
                 save_array(spec_cam, i_batch, self.last_path)

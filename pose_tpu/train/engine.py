@@ -53,8 +53,27 @@ class BaseTrainer:
     def load_state(self, state):
         self.state = shard_replicated(self.mesh, state)
 
-    def _shard(self, batch):
-        return shard_batch(self.mesh, batch)
+    def set_variables(self, variables):
+        """Install converted model variables ({'params', 'batch_stats'}) into
+        the (already initialized) train state."""
+        self.state = self.state.replace(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', self.state.batch_stats))
+        self.state = shard_replicated(self.mesh, self.state)
+
+    def get_variables(self):
+        return {'params': jax.device_get(self.state.params),
+                'batch_stats': jax.device_get(self.state.batch_stats)}
+
+    def _shard(self, batch, keys):
+        """Select the device-bound keys of a loader batch and place them on
+        the mesh (host-only extras like back_rotation/_true_size stay out)."""
+        selected = {k: batch[k] for k in keys if k in batch}
+        return shard_batch(self.mesh, selected)
+
+    @staticmethod
+    def _size(batch, key):
+        return batch.get('_true_size', len(batch[key]))
 
 
 class RgbTrainer(BaseTrainer):
@@ -93,8 +112,9 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(data_loader)
         loss_avg, total = 0.0, 0
         for i, batch in enumerate(data_loader):
-            b = len(batch['image'])
-            self.state, out = step(self.state, self._shard(batch), lr)
+            b = self._size(batch, 'image')
+            device_batch = self._shard(batch, ('image', 'true_cam', 'true_val'))
+            self.state, out = step(self.state, device_batch, lr)
             loss = float(out['cam_loss'])
             loss_avg += loss * b
             total += b
@@ -111,8 +131,11 @@ class RgbTrainer(BaseTrainer):
         cam_avg = mat_avg = recon_avg = 0.0
         total = 0
         for i, batch in enumerate(data_loader):
-            b = len(batch['image'])
-            self.state, out = step(self.state, self._shard(batch), lr)
+            b = self._size(batch, 'image')
+            device_batch = self._shard(
+                batch, ('image', 'true_cam', 'true_val', 'true_mat',
+                        'intrinsics'))
+            self.state, out = step(self.state, device_batch, lr)
             cam, mat = float(out['cam_loss']), float(out['mat_loss'])
             rec = float(out['recon_loss'])
             cam_avg += cam * b
@@ -146,14 +169,16 @@ class RgbTrainer(BaseTrainer):
         loss_avg, total = 0.0, 0
         cam_stats = []
         for i, batch in enumerate(test_loader):
-            b = len(batch['image'])
-            out = _to_host(self._eval_step(self.state, self._shard(batch)))
+            b = self._size(batch, 'image')
+            device_batch = self._shard(batch, ('image', 'true_cam', 'true_val'))
+            out = _to_host(self._eval_step(self.state, device_batch))
             loss_avg += float(out['cam_loss']) * b
             total += b
-            true_val = np.asarray(batch['true_val']).astype(bool)
-            spec_cam = back_rotate(batch['back_rotation'], out['spec_cam'])
+            true_val = np.asarray(batch['true_val']).astype(bool)[:b]
+            spec_cam = back_rotate(batch['back_rotation'],
+                                   out['spec_cam'][:b])
             true_cam = back_rotate(batch['back_rotation'],
-                                   np.asarray(batch['true_cam']))
+                                   np.asarray(batch['true_cam'])[:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -173,8 +198,11 @@ class RgbTrainer(BaseTrainer):
         total = 0
         mat_stats, cam_stats, det_stats = [], [], []
         for i, batch in enumerate(test_loader):
-            b = len(batch['image'])
-            out = _to_host(self._eval_step(self.state, self._shard(batch)))
+            b = self._size(batch, 'image')
+            device_batch = self._shard(
+                batch, ('image', 'true_cam', 'true_val', 'true_mat',
+                        'intrinsics'))
+            out = _to_host(self._eval_step(self.state, device_batch))
             cam_loss = float(out['cam_loss'])
             mat_loss = float(out['mat_loss'])
             cam_avg += cam_loss * b
@@ -183,15 +211,16 @@ class RgbTrainer(BaseTrainer):
             print('| test Epoch[%d] [%d/%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
                   % (epoch, i, n_batches, cam_loss, mat_loss))
 
-            true_val = np.asarray(batch['true_val']).astype(bool)
-            spec_mat = out['spec_mat']
-            true_mat = np.asarray(batch['true_mat'])
+            true_val = np.asarray(batch['true_val']).astype(bool)[:b]
+            spec_mat = out['spec_mat'][:b]
+            true_mat = np.asarray(batch['true_mat'])[:b]
             mat_stats.append(metrics.analyze_mat(spec_mat, true_mat, true_val,
                                                  self.args.side_in))
 
-            spec_cam = back_rotate(batch['back_rotation'], out['spec_cam'])
+            spec_cam = back_rotate(batch['back_rotation'],
+                                   out['spec_cam'][:b])
             true_cam = back_rotate(batch['back_rotation'],
-                                   np.asarray(batch['true_cam']))
+                                   np.asarray(batch['true_cam'])[:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -200,8 +229,8 @@ class RgbTrainer(BaseTrainer):
                 from ..ops import recon as recon_ops
                 import jax.numpy as jnp
                 deter = np.asarray(recon_ops.recon_root(
-                    jnp.asarray(spec_mat), jnp.asarray(out['relat_cam']),
-                    jnp.asarray(batch['intrinsics'])))
+                    jnp.asarray(spec_mat), jnp.asarray(out['relat_cam'][:b]),
+                    jnp.asarray(np.asarray(batch['intrinsics'])[:b])))
                 deter = back_rotate(batch['back_rotation'], deter)
                 det_stats.append(metrics.analyze(deter, true_cam, true_val,
                                                  self.data_info.mirror,

@@ -1,0 +1,76 @@
+"""End-to-end CLI tests on synthetic fixture datasets: the run_test.sh-style
+acceptance surface (SURVEY.md §4) — train an epoch via the reference CLI,
+then reload the checkpoint with -val_only and require identical metrics."""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, flags, cwd=REPO):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    result = subprocess.run([sys.executable, script] + flags, cwd=cwd,
+                            capture_output=True, text=True, env=env,
+                            timeout=900)
+    assert result.returncode == 0, result.stdout + result.stderr
+    return result.stdout
+
+
+@pytest.fixture(scope='module')
+def cmu_fixture(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_cmu_fixture
+    root = tmp_path_factory.mktemp('cmu')
+    return make_cmu_fixture(str(root), num_train=8, num_valid=4)
+
+
+@pytest.fixture(scope='module')
+def ntu_fixture(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_ntu_fixture
+    root = tmp_path_factory.mktemp('ntu')
+    return make_ntu_fixture(str(root), num_train=8, num_valid=4)
+
+
+BASE = ['-suffix', 'e2e', '-criterion', 'SmoothL1', '-batch_size', '4',
+        '-side_in', '65', '-stride', '32', '-depth', '4', '-n_epochs', '1',
+        '-n_cudas', '1', '-learn_rate', '1e-4', '-model', 'resnet18']
+
+
+def _spec_line(stdout):
+    m = re.findall(r'=>\[SPEC\] cam_mean: ([\d.]+)\s+\[pck\]: ([\d.]+)'
+                   r'\s+\[auc\]: ([\d.]+)', stdout)
+    assert m, stdout
+    return m[-1]
+
+
+def test_main_train_and_val_roundtrip(cmu_fixture, tmp_path):
+    save = str(tmp_path / 'save')
+    flags = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                    '-metadata_path', cmu_fixture, '-save_path', save,
+                    '-shuffle', '-save_record', '-geometry', '-colour']
+    out = run_cli('main.py', flags)
+    trained = _spec_line(out)
+    assert os.path.exists(os.path.join(save, 'resnet18-e2e', 'model_1.pth'))
+    assert os.path.exists(os.path.join(save, 'resnet18-e2e', 'best.pth'))
+
+    val_flags = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                        '-metadata_path', cmu_fixture, '-save_path', save,
+                        '-val_only']
+    out = run_cli('main.py', val_flags)
+    assert _spec_line(out) == trained  # checkpoint roundtrip is exact
+
+
+def test_depth_main_vanilla(ntu_fixture, tmp_path):
+    save = str(tmp_path / 'save')
+    flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                    '-metadata_path', ntu_fixture, '-save_path', save,
+                    '-shuffle', '-save_record', '-depth_only']
+    out = run_cli('depth_main.py', flags)
+    _spec_line(out)
+    assert 'Cam Loss' in out
