@@ -1,0 +1,17 @@
+"""CLI shim (reference: filter_ntu_samples.py).
+Usage: python filter_ntu_samples.py <root_path> <skeleton_path>"""
+
+import sys
+
+from pose_tpu.tools.depth_build import (are_changes_sufficient_and_update,
+                                        filter_ntu_main as main_impl,
+                                        filter_ntu_samples as filter_samples,
+                                        non_empty, sufficient_pose_change)
+
+
+def main(root_path, skeleton_path):
+    main_impl(root_path, skeleton_path)
+
+
+if __name__ == '__main__':
+    main(sys.argv[1], sys.argv[2])

@@ -97,6 +97,17 @@ class PoseLoader:
         self.epoch = 0
 
         self.canvas = canvas or (512, 512)
+
+        # native C++ decode pool (threaded libjpeg, native/pose_loader.cc);
+        # falls back to PIL per-sample decode when unavailable
+        self._native = None
+        try:
+            from .native_loader import NativeImageLoader
+            self._native = NativeImageLoader(self.canvas,
+                                             num_threads=max(args.workers, 1))
+        except Exception:
+            pass
+
         self._occ_bank = None
         if self.occluder and args.occ_path:
             from ..ops.occluder import load_occluder_bank
@@ -114,7 +125,7 @@ class PoseLoader:
         return np.random.RandomState(
             (self.seed * 1000003 + self.epoch * 9176 + index) % (2 ** 31))
 
-    def parse_sample(self, sample, index):
+    def parse_sample(self, sample, index, decode=True):
         rng = self._rng(index)
         do_flip = (not self.at_test) and (rng.rand() < 0.5)
         random_zoom = rng.uniform(self.random_zoom, self.random_zoom ** (-1))
@@ -123,16 +134,7 @@ class PoseLoader:
         new_cam, matrices = crop.build_crop(cam, sample['bbox'], self.side_in,
                                             do_flip, random_zoom,
                                             self.geometry)
-        image = imread(sample['image'])
-        if image.ndim == 2:
-            image = image[..., None].repeat(3, axis=-1)
-        image = image[..., :3]
-        if image.dtype != np.uint8:
-            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-        canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
-        hom = crop.scale_homography(matrices['homography'], prescale) \
-            if 'homography' in matrices else None
-        if hom is None:
+        if 'homography' not in matrices:
             raise NotImplementedError(
                 'distorted source cameras go through warp_single_distorted; '
                 'the sample stores produced by the offline tools are '
@@ -142,9 +144,23 @@ class PoseLoader:
             cam, new_cam, sample['skeleton'], sample['valid'],
             self.data_info.mirror, do_flip, self.at_test)
 
-        out = dict(canvas=canvas, extent=extent, homography=hom,
+        out = dict(homography=matrices['homography'],
                    true_cam=camera_coords,
                    true_val=valid.astype(bool))
+        if decode:
+            image = imread(sample['image'])
+            if image.ndim == 2:
+                image = image[..., None].repeat(3, axis=-1)
+            image = image[..., :3]
+            if image.dtype != np.uint8:
+                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
+            out['canvas'] = canvas
+            out['extent'] = extent
+            out['homography'] = crop.scale_homography(out['homography'],
+                                                      prescale)
+        else:
+            out['image_path'] = sample['image']
         if self.joint_space:
             out['true_mat'] = new_cam.camera_to_image(
                 camera_coords).astype(np.float32)
@@ -164,6 +180,28 @@ class PoseLoader:
     def _collate(self, parsed):
         keys = parsed[0].keys()
         return {k: np.stack([p[k] for p in parsed]) for k in keys}
+
+    def _decode_batch(self, idxs):
+        """Per-batch host work. JPEG sample stores go through the native C++
+        decode pool; anything else falls back to PIL per sample."""
+        use_native = (self._native is not None and all(
+            self.samples[i]['image'].lower().endswith(('.jpg', '.jpeg'))
+            for i in idxs))
+        if not use_native:
+            return self._collate([
+                self.parse_sample(self.samples[i], int(i)) for i in idxs])
+
+        parsed = [self.parse_sample(self.samples[i], int(i), decode=False)
+                  for i in idxs]
+        paths = [p.pop('image_path') for p in parsed]
+        canvases, extents, prescales = self._native.decode_batch(paths)
+        for p, prescale in zip(parsed, prescales):
+            p['homography'] = crop.scale_homography(p['homography'],
+                                                    float(prescale))
+        batch = self._collate(parsed)
+        batch['canvas'] = canvases
+        batch['extent'] = extents
+        return batch
 
     def _pad_to_mesh(self, batch):
         n = len(batch['canvas'])
@@ -215,9 +253,7 @@ class PoseLoader:
 
         def produce(q):
             for i_batch, idxs in enumerate(batches):
-                parsed = [self.parse_sample(self.samples[i], int(i))
-                          for i in idxs]
-                q.put((i_batch, self._collate(parsed)))
+                q.put((i_batch, self._decode_batch(idxs)))
             q.put(None)
 
         q = queue.Queue(maxsize=2)
@@ -260,7 +296,13 @@ class DepthPoseLoader(PoseLoader):
         self.apply_to_depth = args.to_depth
         self.enhance_thresh = 0.1 if args.data_name == 'ntu' else 0.5
 
-    def parse_sample(self, sample, index):
+    def _decode_batch(self, idxs):
+        # the depth modality is PNG (PIL path); the native JPEG pool only
+        # covers the colour stream, so parse per sample here
+        return self._collate([
+            self.parse_sample(self.samples[i], int(i)) for i in idxs])
+
+    def parse_sample(self, sample, index, decode=True):
         rng = self._rng(index)
         do_flip = (not self.at_test) and (rng.rand() < 0.5)
         random_zoom = rng.uniform(self.random_zoom, self.random_zoom ** (-1))

@@ -168,19 +168,17 @@ class Bottleneck(nn.Module):
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn3')(out)
         else:
-            out = ConvBN(self.planes, 1, 1, 1,
-                         conv_name='conv1', bn_name='bn1')(x, train)
+            out = conv_bn(x, self.planes, 1, 1, 1, 'conv1', 'bn1', train)
             out = nn.relu(out)
-            out = ConvBN(self.planes, 3, self.stride, self.dilation,
-                         conv_name='conv2', bn_name='bn2')(out, train)
+            out = conv_bn(out, self.planes, 3, self.stride, self.dilation,
+                          'conv2', 'bn2', train)
             out = nn.relu(out)
-            out = ConvBN(self.planes * 4, 1, 1, 1,
-                         conv_name='conv3', bn_name='bn3')(out, train)
+            out = conv_bn(out, self.planes * 4, 1, 1, 1, 'conv3', 'bn3',
+                          train)
 
         if self.has_downsample:
-            res = ConvBN(self.planes * self.expansion, 1, self.stride, 1,
-                         conv_name='downsample_0',
-                         bn_name='downsample_1')(x, train)
+            res = conv_bn(x, self.planes * self.expansion, 1, self.stride, 1,
+                          'downsample_0', 'downsample_1', train)
 
         out = out + res
         if not self.skip_relu:

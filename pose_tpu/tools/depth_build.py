@@ -1,0 +1,487 @@
+"""Offline depth dataset construction: NTU RGB+D / PKU-MMD midway and final
+sample stores plus NTU depth-camera calibration (reference:
+filter_ntu_samples.py, filter_pku_samples.py, depth_groups.py,
+get_depth_cams.py). One-time host tooling; functional parity.
+"""
+
+import glob
+import json
+import multiprocessing
+import os
+import pickle
+import random
+
+import numpy as np
+import scipy.optimize
+
+from ..geometry import boxlib
+from ..geometry import camera as cameralib
+from .dataset_build import groupby, transfer_bbox
+from .video import depth_prefetch, prefetch
+
+# the 17-joint subset of the 75-channel inferred skeletons
+# (filter_ntu_samples.py:77)
+NTU_JOINT_INDICES = [63, 4, 7, 38, 3, 6, 5, 47, 24, 27, 42, 17, 19, 67, 18,
+                     20, 52]
+
+
+# -------------------------------------------------------- motion-gated filter
+
+
+def get_cam_id(anno_file):
+    video_id = os.path.basename(anno_file).split('.')[0]
+    return video_id[:8]
+
+
+def sufficient_pose_change(prev_pose, current_pose):
+    """>= 3 joints moved >= 100mm (filter_ntu_samples.py:22-26)."""
+    if prev_pose is None:
+        return True
+    dists = np.linalg.norm(prev_pose - current_pose, axis=-1)
+    return np.sum(dists >= 100) >= 3
+
+
+def non_empty(pose):
+    return not np.any(np.isnan(pose))
+
+
+def are_changes_sufficient_and_update(prev_poses, current_poses):
+    """Hungarian-match current to previous poses; keep only sufficiently
+    dissimilar matches; insert unmatched (filter_ntu_samples.py:33-65)."""
+    result = [True] * len(current_poses)
+    if not prev_poses:
+        prev_poses.extend(current_poses)
+        return result
+
+    def pose_distance(p1, p2):
+        return np.nanmean(np.linalg.norm(p1 - p2, axis=-1))
+
+    dist_matrix = np.array([[pose_distance(p1, p2) for p1 in current_poses]
+                            for p2 in prev_poses])
+    prev_indices, current_indices = scipy.optimize.linear_sum_assignment(
+        dist_matrix)
+
+    for pi, ci in zip(prev_indices, current_indices):
+        result[ci] = sufficient_pose_change(prev_poses[pi], current_poses[ci])
+        if result[ci]:
+            prev_poses[pi] = current_poses[ci]
+
+    for i, current_pose in enumerate(current_poses):
+        if i not in current_indices:
+            prev_poses.append(current_pose)
+    return result
+
+
+def _collect_motion_gated(skeleton_stream, camera):
+    """Shared NTU/PKU inner loop: motion gate + visibility floor
+    (filter_ntu_samples.py:85-99). skeleton_stream yields
+    (frame, [poses...], video_id)."""
+    samples = []
+    prev_poses = []
+    for frame, cur_poses, video_id in skeleton_stream:
+        are_sufficient = are_changes_sufficient_and_update(prev_poses,
+                                                           cur_poses)
+        for idx in np.where(are_sufficient)[0]:
+            pose_coord = cur_poses[idx]
+            color_coord = camera.world_to_image(pose_coord)
+            bbox = boxlib.expand(boxlib.bb_of_points(color_coord), 1.25)
+            valid = (camera.is_visible(pose_coord, [1920, 1080])
+                     & (200.0 <= pose_coord[:, 2]))
+            if np.count_nonzero(valid) >= 15:
+                samples.append(dict(skeleton=pose_coord, valid=valid,
+                                    frame=frame, video=video_id, bbox=bbox))
+    return samples
+
+
+def filter_ntu_samples(anno_files, cam_id, camera, root_path):
+    """(filter_ntu_samples.py:68-102)"""
+    samples = []
+    anno_files = sorted(anno_files)
+    for anno_file in anno_files:
+        video_id = os.path.basename(anno_file).split('.')[0]
+        skeletons = np.load(anno_file)[:, :, NTU_JOINT_INDICES]
+        n_frames = skeletons.shape[1]
+        print('collect samples from video:', video_id)
+
+        def stream():
+            for frame in range(n_frames):
+                yield (frame, list(filter(non_empty, skeletons[:, frame])),
+                       video_id)
+
+        samples += _collect_motion_gated(stream(), camera)
+
+    os.makedirs(os.path.join(root_path, 'midway_samples'), exist_ok=True)
+    with open(os.path.join(root_path, 'midway_samples', cam_id + '.pkl'),
+              'wb') as file:
+        pickle.dump(samples, file)
+    return samples
+
+
+def filter_ntu_main(root_path, skeleton_path, num_processes=6):
+    """(filter_ntu_samples.py:105-119)"""
+    with open(os.path.join(root_path, 'cameras.pkl'), 'rb') as file:
+        cameras = pickle.load(file)
+    anno_files = glob.glob(os.path.join(skeleton_path, '*.npy'))
+    anno_files_by_cam = groupby(anno_files, get_cam_id)
+
+    pool = multiprocessing.Pool(num_processes)
+    for cam_id, annos in anno_files_by_cam.items():
+        pool.apply_async(func=filter_ntu_samples,
+                         args=(annos, cam_id, cameras[cam_id], root_path))
+    pool.close()
+    pool.join()
+
+
+# ------------------------------------------------------------------- PKU
+
+
+def kinect_to_box(camera, skel):
+    """Kinect-native skeleton -> projected box with the 1920-x mirror
+    (filter_pku_samples.py:22-26)."""
+    direction = np.array([1.0, -1.0, 1.0])
+    image_coords = camera.camera_to_image(np.multiply(skel, direction))
+    image_coords[:, 0] = 1920 - image_coords[:, 0]
+    return boxlib.bb_of_points(image_coords)
+
+
+def reap_by_iou(infer_skels, kinect_skels, camera):
+    """Reconcile inferred skeletons with Kinect-native ones by projected-box
+    IoU (filter_pku_samples.py:29-43)."""
+    kinect_boxes = [kinect_to_box(camera, skel) for skel in kinect_skels
+                    if np.all(skel[:, 2] != 0.0)]
+    infer_skels = [skel for skel in infer_skels if not np.any(np.isnan(skel))]
+    infer_boxes = [boxlib.bb_of_points(camera.camera_to_image(skel))
+                   for skel in infer_skels]
+    ret = []
+    for kinect_box in kinect_boxes:
+        if not infer_boxes:
+            break
+        iou_scores = [boxlib.iou(kinect_box, infer_box)
+                      for infer_box in infer_boxes]
+        best_match = np.argmax(iou_scores)
+        if iou_scores[best_match] > 0.5:
+            ret.append(infer_skels[best_match])
+    return ret
+
+
+PKU_INTRINSICS = np.array([[1.03e3, 0, 9.80e2], [0, 1.03e3, 5.50e2],
+                           [0, 0, 1]])
+
+
+def filter_pku_samples(anno_file, camera, label_root, skeleton_root):
+    """(filter_pku_samples.py:46-94)"""
+    skeletons = np.load(anno_file)[:, :, NTU_JOINT_INDICES]
+    video_id = os.path.basename(anno_file)[:6]
+    print('collect samples from video: [', video_id, ']')
+
+    label_file = os.path.join(label_root, video_id + '.txt')
+    with open(label_file) as file:
+        lines = [line.strip() for line in file.readlines()]
+    begin_frames = [int(line.split(',')[1]) for line in lines]
+    end_frames = [int(line.split(',')[2]) for line in lines]
+
+    origin_file = os.path.join(skeleton_root, video_id + '.txt')
+    with open(origin_file) as file:
+        lines = [line.strip() for line in file.readlines()]
+    origin_skels = np.stack(
+        [np.asarray([float(v) for v in line.split(' ')]).reshape(2, 25, 3)
+         for line in lines], axis=1)
+
+    samples = []
+    for begin, end in zip(begin_frames, end_frames):
+        def stream():
+            for frame in range(begin, end):
+                yield (frame,
+                       reap_by_iou(skeletons[:, frame], origin_skels[:, frame],
+                                   camera),
+                       video_id)
+        samples += _collect_motion_gated(stream(), camera)
+    return samples
+
+
+def exclude(exclusions, anno_file):
+    for exc_file in exclusions:
+        if exc_file in anno_file:
+            return False
+    return True
+
+
+def filter_pku_main(root, anno_path, label_root=None, skeleton_root=None,
+                    num_processes=6):
+    """(filter_pku_samples.py:97-124)"""
+    from functools import partial
+
+    anno_files = sorted(glob.glob(os.path.join(anno_path, '*.npy')))
+    exclusions = json.load(open(os.path.join(root, 'exclusions.json')))
+    anno_files = list(filter(partial(exclude, exclusions), anno_files))
+
+    label_root = label_root or os.path.join(root, 'Train_Label_PKU_final')
+    skeleton_root = skeleton_root or os.path.join(root, 'PKU_Skeleton_Renew')
+    camera = cameralib.Camera(intrinsic_matrix=PKU_INTRINSICS,
+                              world_up=(0, -1, 0))
+
+    pool = multiprocessing.Pool(num_processes)
+    processes = [pool.apply_async(
+        func=filter_pku_samples,
+        args=(f, camera, label_root, skeleton_root)) for f in anno_files]
+    pool.close()
+    pool.join()
+
+    samples = []
+    for process in processes:
+        samples += process.get()
+    with open(os.path.join(root, 'midway_samples.pkl'), 'wb') as file:
+        pickle.dump(samples, file)
+    return samples
+
+
+# ----------------------------------------------------- depth-cam calibration
+
+
+def calibrate_depth_camera(anno_files, cam_id, sample_count=200, rng=None):
+    """NTU depth intrinsics by least squares from (2D-depth, 3D-camera)
+    joint pairs with RMS preconditioning (get_depth_cams.py:31-90)."""
+    print('compute intrinsics for camera:', cam_id)
+    rng = rng or random
+    chosen_files = rng.sample(anno_files, min(sample_count, len(anno_files)))
+
+    rows_a, rows_b = [], []
+    for chosen_file in chosen_files:
+        anno = np.load(chosen_file, allow_pickle=True,
+                       encoding='latin1').item()
+        n_frames = len(anno['nbodys'])
+        frame = rng.randrange(0, n_frames)
+        coord_on_depth = anno['depth_body0'][frame]          # (25, 2)
+        coord_cam = anno['skel_body0'][frame] * np.array(
+            [1000.0, -1000.0, 1000.0])                       # (25, 3)
+
+        for coords2d, coords3d in zip(coord_on_depth, coord_cam):
+            x, y = coords2d
+            x3, y3, z3 = coords3d
+            if z3 == 0:
+                continue
+            rows_a.append([x3 / z3, 0, 1, 0])
+            rows_a.append([0, y3 / z3, 0, 1])
+            rows_b.append([x])
+            rows_b.append([y])
+
+    A = np.array(rows_a, np.float32)
+    b = np.array(rows_b, np.float32)
+    print('A:', A.shape, '| b:', b.shape)
+    if A.shape[0] < 5000:
+        raise RuntimeError(
+            f'too few valid videos chosen for camera: {cam_id}')
+
+    rms_A = np.sqrt(np.mean(np.square(A), axis=0))
+    rms_b = np.sqrt(np.mean(np.square(b), axis=0))
+    result, *_ = np.linalg.lstsq(A / rms_A, b / rms_b, rcond=None)
+    fx, fy, cx, cy = result[:, 0] * rms_b / rms_A
+
+    intrinsics = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    return cameralib.Camera(intrinsic_matrix=intrinsics, world_up=(0, -1, 0))
+
+
+def get_depth_cams_main(path, out_path=None):
+    """(get_depth_cams.py:20-28)"""
+    anno_files = glob.glob(os.path.join(path, '*.skeleton.npy'))
+    anno_files_by_cam = groupby(anno_files, get_cam_id)
+    cameras = {cam_id: calibrate_depth_camera(annos, cam_id)
+               for cam_id, annos in anno_files_by_cam.items()}
+    out_path = out_path or os.path.join(path, 'depth_cameras.pkl')
+    with open(out_path, 'wb') as file:
+        pickle.dump(cameras, file)
+    return cameras
+
+
+# ------------------------------------------------------- midway -> final
+
+
+def make_depth_sample(sample, cameras, image, args):
+    """(depth_groups.py:16-59)"""
+    import copy as _copy
+
+    from PIL import Image as PILImage
+
+    color_cam, depth_cam = cameras
+    box_center = boxlib.center(sample['bbox'])
+    depth_bbox = transfer_bbox(sample['bbox'], color_cam, depth_cam)
+
+    sine = np.sin(np.pi / 6)
+    cosine = np.cos(np.pi / 6)
+    expand_shape = (np.array([[cosine, sine], [sine, cosine]])
+                    @ sample['bbox'][2:, np.newaxis])
+    expand_side = np.max(expand_shape)
+    scale_factor = min(
+        args.side_in / np.max(sample['bbox'][2:]) / args.random_zoom, 1.0)
+    dest_side = int(np.round(expand_side * scale_factor))
+
+    new_cam = _copy.deepcopy(color_cam)
+    new_cam.shift_to_center(box_center, (expand_side, expand_side))
+    new_cam.scale_output(scale_factor)
+
+    new_bbox = cameralib.reproject_points(
+        sample['bbox'][None, :2], color_cam, new_cam)[0]
+    new_bbox = np.concatenate([new_bbox, sample['bbox'][2:] * scale_factor])
+
+    new_path = os.path.join(args.down_path, str(sample['frame']) + '.jpg')
+    if not os.path.exists(new_path):
+        import cameralib as shim
+        new_image = shim.reproject_image(image, color_cam, new_cam,
+                                         (dest_side, dest_side))
+        PILImage.fromarray(new_image).save(new_path)
+
+    sample['image'] = new_path
+    sample['bbox'] = new_bbox
+    sample['camera'] = new_cam
+    sample['depth_bbox'] = depth_bbox
+    return sample
+
+
+def by_sequence(phase, sample_file):
+    """Midway-shard gate; the reference references an undefined `by_sequence`
+    (depth_groups.py:76) — reconstructed as accept-all (phase selection lives
+    in split.json at load time)."""
+    return True
+
+
+def _assign_and_make(samples_cur_frame, det_bboxes, make):
+    iou_matrix = np.array([[boxlib.iou(sample['bbox'], bbox)
+                            for bbox in det_bboxes]
+                           for sample in samples_cur_frame])
+    sample_indices, det_indices = scipy.optimize.linear_sum_assignment(
+        -iou_matrix)
+    made = []
+    for i_sample, i_det in zip(sample_indices, det_indices):
+        cur_sample = samples_cur_frame[i_sample]
+        if 0.5 <= iou_matrix[i_sample, i_det]:
+            cur_sample['bbox'] = det_bboxes[i_det]
+            made.append(make(cur_sample))
+    return made
+
+
+def get_ntu_group(phase, args, detector=None):
+    """(depth_groups.py:62-134)"""
+    from .detector import make_detector
+
+    assert os.path.isdir(args.data_down_path)
+    detector = detector or make_detector()
+
+    with open(os.path.join(args.data_root_path, 'cameras.pkl'), 'rb') as f:
+        color_cameras = pickle.load(f)
+    with open(os.path.join(args.data_root_path, 'depth_cameras.pkl'),
+              'rb') as f:
+        depth_cameras = pickle.load(f)
+
+    sample_files = glob.glob(
+        os.path.join(args.data_root_path, 'midway_samples', '*.pkl'))
+    sample_files = sorted(f for f in sample_files if by_sequence(phase, f))
+
+    for i_cam, sample_file in enumerate(sample_files):
+        final_samples = []
+        cam_id = os.path.basename(sample_file).split('.')[0]
+        print('=> handles camera[', cam_id, ']: [', i_cam, '|',
+              len(sample_files), ']')
+        cameras = (color_cameras[cam_id], depth_cameras[cam_id])
+
+        with open(sample_file, 'rb') as f:
+            samples_cur_cam = pickle.load(f)
+        samples_by_video = groupby(samples_cur_cam, lambda s: s['video'])
+
+        for i_vid, (video_id, samples_cur_video) in enumerate(
+                samples_by_video.items()):
+            print('\t => handles video[', video_id, ']: [', i_vid, '|',
+                  len(samples_by_video), ']')
+            samples_by_frame = groupby(samples_cur_video,
+                                       lambda s: s['frame'])
+            video_path = os.path.join(args.data_root_path, 'nturgb+d_rgb',
+                                      video_id + '_rgb.avi')
+            down_path = os.path.join(args.data_down_path, video_id)
+            os.makedirs(down_path, exist_ok=True)
+            args.down_path = down_path
+
+            for frame, image in enumerate(prefetch(video_path)):
+                if frame not in samples_by_frame:
+                    continue
+                print('\t\t => handles frame[', frame, ']')
+                if hasattr(detector, 'set_candidates'):
+                    detector.set_candidates(
+                        [s['bbox'] for s in samples_by_frame[frame]])
+                det_bboxes = detector.detect(image)
+                if not det_bboxes:
+                    continue
+                final_samples += _assign_and_make(
+                    samples_by_frame[frame], det_bboxes,
+                    lambda s: make_depth_sample(s, cameras, image, args))
+
+        with open(sample_file.replace('midway', 'final'), 'wb') as f:
+            pickle.dump(final_samples, f)
+
+
+def get_pku_group(args, detector=None):
+    """(depth_groups.py:137-217)"""
+    import cv2
+
+    from .detector import make_detector
+
+    assert os.path.isdir(args.data_down_path)
+    detector = detector or make_detector()
+
+    with open(os.path.join(args.data_root_path, 'cameras.pkl'), 'rb') as f:
+        cameras = pickle.load(f)
+
+    sample_file = os.path.join(args.data_root_path, 'midway_samples.pkl')
+    with open(sample_file, 'rb') as f:
+        samples = pickle.load(f)
+    samples_by_video = groupby(samples, lambda s: s['video'])
+
+    final_samples = []
+    exclusions = json.load(
+        open(os.path.join(args.data_root_path, 'exclusions.json')))
+    for video_id in exclusions:
+        samples_by_video.pop(video_id, None)
+
+    os.makedirs(os.path.join(args.data_root_path, 'DEPTH_IMAGE'),
+                exist_ok=True)
+
+    for i_vid, (video_id, samples_cur_video) in enumerate(
+            samples_by_video.items()):
+        print('=> handles video[', video_id, ']: [', i_vid, '|',
+              len(samples_by_video), ']')
+        samples_by_frame = groupby(samples_cur_video, lambda s: s['frame'])
+        video_path = os.path.join(args.data_root_path, 'RGB_VIDEO',
+                                  video_id + '.avi')
+        depth_path = os.path.join(args.data_root_path, 'DEPTH_VIDEO',
+                                  video_id + '-depth.avi')
+        video_loader = prefetch(video_path, True)
+        depth_loader = depth_prefetch(depth_path, True)
+
+        down_path = os.path.join(args.data_down_path, video_id)
+        os.makedirs(down_path, exist_ok=True)
+        args.down_path = down_path
+        cur_cams = (cameras['color'], cameras[video_id[-1]])
+
+        for frame, (image, depth_image) in enumerate(
+                zip(video_loader, depth_loader)):
+            if frame not in samples_by_frame:
+                continue
+            print('\t=> handles frame[', frame, ']')
+            new_depth_path = os.path.join(
+                args.data_root_path, 'DEPTH_IMAGE',
+                video_id + '.' + str(frame) + '.png')
+
+            if hasattr(detector, 'set_candidates'):
+                detector.set_candidates(
+                    [s['bbox'] for s in samples_by_frame[frame]])
+            det_bboxes = detector.detect(image)
+            if not det_bboxes:
+                continue
+            made = _assign_and_make(
+                samples_by_frame[frame], det_bboxes,
+                lambda s: make_depth_sample(s, cur_cams, image, args))
+            final_samples += made
+
+            if made and not os.path.exists(new_depth_path):
+                cv2.imwrite(new_depth_path, depth_image)
+
+    with open(sample_file.replace('midway', 'final'), 'wb') as f:
+        pickle.dump(final_samples, f)

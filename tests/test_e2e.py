@@ -16,6 +16,10 @@ def run_cli(script, flags, cwd=REPO):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)
+    # the axon TPU plugin registers from sitecustomize when this var is set
+    # and force-selects the tunnel backend; strip it so the subprocess stays
+    # on host CPU
+    env.pop('PALLAS_AXON_POOL_IPS', None)
     result = subprocess.run([sys.executable, script] + flags, cwd=cwd,
                             capture_output=True, text=True, env=env,
                             timeout=900)
