@@ -47,3 +47,9 @@ def get_data_loader(args, phase, **kwargs):
     """main.py's contract: returns (loader, data_info)."""
     data_info = build_info(args.data_name)
     return data_loader(args, phase, data_info, **kwargs), data_info
+
+
+def show_mat(image_coord, ax, bbox=None):
+    """Skeleton/bbox overlay (reference datasets.py:157-183)."""
+    from pose_tpu.tools.viz import show_mat as _show_mat
+    _show_mat(image_coord, ax, bbox, skeleton='h36m')

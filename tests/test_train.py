@@ -1,0 +1,233 @@
+"""Training-engine unit tests: losses vs torch goldens, LR schedules and
+alpha annealing vs the reference formulas, distillation loss, optimizer
+parity, loader behavior on fixtures."""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pose_tpu.train import losses, schedules, steps
+
+torch = pytest.importorskip('torch')
+
+
+def make_args(**over):
+    base = dict(criterion='SmoothL1', half_acc=False, depth=4, num_joints=5,
+                depth_range=1000.0, side_in=65, stride=32, grad_norm=5.0,
+                weight_decay=4e-5, loss_div=10.0, learn_rate=1e-4,
+                n_epochs=20, do_track=False, warmup=1, warmup_factor=0.2,
+                learn_decay=0.2, alpha_init=0.5, alpha_dest=0.1,
+                alpha_span=10, sigmoid=False, bin_dist=False, do_freeze=False,
+                depth_only=False, joint_space=False, semi_teach=False)
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+class TestLosses:
+    @pytest.mark.parametrize('name,torch_cls', [
+        ('SmoothL1', torch.nn.SmoothL1Loss),
+        ('MSE', torch.nn.MSELoss),
+        ('L1', torch.nn.L1Loss)])
+    def test_vs_torch(self, name, torch_cls):
+        rng = np.random.RandomState(0)
+        pred = rng.randn(4, 5, 3).astype(np.float32) * 2
+        target = rng.randn(4, 5, 3).astype(np.float32)
+        valid = rng.rand(4, 5) > 0.3
+
+        crit = losses.get_criterion(name)
+        ours = float(losses.masked_mean_loss(
+            crit, jnp.asarray(pred), jnp.asarray(target), jnp.asarray(valid)))
+
+        tp = torch.from_numpy(pred).view(-1, 3)[torch.from_numpy(valid).view(-1)]
+        tt = torch.from_numpy(target).view(-1, 3)[torch.from_numpy(valid).view(-1)]
+        golden = float(torch_cls(reduction='mean')(tp, tt))
+        assert abs(ours - golden) < 1e-5
+
+    def test_bce_with_logits_vs_torch(self):
+        rng = np.random.RandomState(1)
+        logits = rng.randn(8, 8).astype(np.float32) * 3
+        target = rng.rand(8, 8).astype(np.float32)
+        ours = np.asarray(losses.bce_with_logits(jnp.asarray(logits),
+                                                 jnp.asarray(target)))
+        golden = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(target),
+            reduction='none').numpy()
+        np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+class TestSchedules:
+    def test_rgb_learn_rate_reference_formula(self):
+        args = make_args(n_epochs=20, learn_rate=1e-4)
+        # train.py:380-392: 1 / 0.2 / 0.04 at 60% / 90%
+        assert schedules.rgb_learn_rate(args, 1) == 1e-4
+        assert schedules.rgb_learn_rate(args, 12) == 1e-4
+        assert schedules.rgb_learn_rate(args, 13) == pytest.approx(2e-5)
+        assert schedules.rgb_learn_rate(args, 18) == pytest.approx(2e-5)
+        assert schedules.rgb_learn_rate(args, 19) == pytest.approx(4e-6)
+        args.do_track = True
+        assert schedules.rgb_learn_rate(args, 1) == 1e-4      # epoch 1 unhalved
+        assert schedules.rgb_learn_rate(args, 2) == pytest.approx(5e-5)
+
+    def test_depth_learn_rate_reference_formula(self):
+        args = make_args(learn_rate=1e-4, warmup=1, warmup_factor=0.2,
+                         learn_decay=0.2)
+        # depth_train.py:621-638
+        assert schedules.depth_learn_rate(args, 1) == pytest.approx(2e-5)
+        assert schedules.depth_learn_rate(args, 2) == 1e-4
+        assert schedules.depth_learn_rate(args, 15) == 1e-4
+        assert schedules.depth_learn_rate(args, 16) == pytest.approx(2e-5)
+        assert schedules.depth_learn_rate(args, 21) == pytest.approx(4e-6)
+        assert schedules.depth_learn_rate(args, 26) == pytest.approx(8e-7)
+
+    def test_alpha_annealing(self):
+        args = make_args(alpha_init=0.5, alpha_dest=0.1, alpha_span=10)
+        # depth_train.py:641-647
+        assert schedules.dist_weight(args, 1) == pytest.approx(0.5)
+        assert schedules.dist_weight(args, 10) == pytest.approx(0.1)
+        assert schedules.dist_weight(args, 11) == pytest.approx(0.1)
+        mid = schedules.dist_weight(args, 5)
+        assert 0.1 < mid < 0.5
+
+
+class TestDistillLoss:
+    def _torch_distill(self, args, teach, feat, atten):
+        import torch.nn.functional as F
+        t = torch.from_numpy(teach.transpose(0, 3, 1, 2))
+        s = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+        a = torch.from_numpy(atten.transpose(0, 3, 1, 2))
+        batch = t.shape[0]
+        if args.bin_dist:
+            diff = F.binary_cross_entropy_with_logits(s, torch.sigmoid(t))
+            diff = torch.mul(diff, a)
+            return float(torch.sum(diff.reshape(batch, -1), dim=-1).mean())
+        diff = ((torch.sigmoid(t) - torch.sigmoid(s)) if args.sigmoid
+                else (t - s))
+        diff = torch.mul(diff, a)
+        return float(torch.linalg.norm(diff.reshape(batch, -1), dim=-1).mean())
+
+    @pytest.mark.parametrize('sigmoid,bin_dist', [
+        (False, False), (True, False), (False, True)])
+    def test_vs_torch(self, sigmoid, bin_dist):
+        args = make_args(sigmoid=sigmoid, bin_dist=bin_dist)
+        rng = np.random.RandomState(0)
+        teach = rng.randn(2, 5, 5, 16).astype(np.float32)
+        feat = rng.randn(2, 5, 5, 16).astype(np.float32)
+        atten = rng.rand(2, 5, 5, 1).astype(np.float32)
+
+        ours = float(steps.distill_loss(args, jnp.asarray(teach),
+                                        jnp.asarray(feat),
+                                        jnp.asarray(atten)))
+        golden = self._torch_distill(args, teach, feat, atten)
+        assert ours == pytest.approx(golden, rel=1e-4)
+
+
+class TestOptimizerParity:
+    def test_adam_matches_torch_with_weight_decay(self):
+        """torch Adam applies weight decay to the grad BEFORE moments
+        (train.py:28-30); verify our chain reproduces a few steps."""
+        rng = np.random.RandomState(0)
+        w0 = rng.randn(6, 4).astype(np.float32)
+        grads = [rng.randn(6, 4).astype(np.float32) for _ in range(4)]
+        lr, wd = 1e-3, 1e-2
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+        for g in grads:
+            opt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            opt.step()
+
+        import optax
+        tx = optax.chain(optax.add_decayed_weights(wd),
+                         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        params = jnp.asarray(w0)
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update(jnp.asarray(g), state, params)
+            params = params - lr * updates
+
+        np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(),
+                                   atol=1e-5)
+
+    def test_global_norm_clip_matches_torch(self):
+        rng = np.random.RandomState(1)
+        g1 = rng.randn(5, 5).astype(np.float32) * 10
+        g2 = rng.randn(3).astype(np.float32) * 10
+        max_norm = 5.0
+
+        t1 = torch.from_numpy(g1.copy())
+        t2 = torch.from_numpy(g2.copy())
+        p1 = torch.nn.Parameter(torch.zeros(5, 5)); p1.grad = t1
+        p2 = torch.nn.Parameter(torch.zeros(3)); p2.grad = t2
+        torch.nn.utils.clip_grad_norm_([p1, p2], max_norm)
+
+        import optax
+        tx = optax.clip_by_global_norm(max_norm)
+        clipped, _ = tx.update({'a': jnp.asarray(g1), 'b': jnp.asarray(g2)},
+                               tx.init(None))
+        np.testing.assert_allclose(np.asarray(clipped['a']),
+                                   p1.grad.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(clipped['b']),
+                                   p2.grad.numpy(), rtol=1e-5)
+
+
+class TestLoaderFixture:
+    @pytest.fixture(scope='class')
+    def cmu(self, tmp_path_factory):
+        from pose_tpu.data.synthetic import make_cmu_fixture
+        root = tmp_path_factory.mktemp('cmu_l')
+        return make_cmu_fixture(str(root), num_train=6, num_valid=4)
+
+    def test_loader_batches(self, cmu):
+        from datasets import get_data_loader
+        args = make_args(shuffle=True, geometry=True, colour=True,
+                         eraser=False, occluder=False, batch_size=3,
+                         num_joints=19, data_name='cmu', metadata_path=cmu,
+                         random_zoom=0.9, n_cudas=1, workers=1, occ_path=None,
+                         nexponent=False, to_depth=False, do_teach=False,
+                         attention=False)
+        loader, data_info = get_data_loader(args, 'train')
+        assert len(loader) == 2
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b['image'].shape == (3, 65, 65, 3)
+        assert b['true_cam'].shape == (3, 19, 3)
+        assert b['true_val'].shape == (3, 19)
+        assert np.all(np.isfinite(np.asarray(b['image'])))
+
+    def test_eval_loader_has_back_rotation(self, cmu):
+        from datasets import get_data_loader
+        args = make_args(shuffle=False, geometry=False, colour=False,
+                         eraser=False, occluder=False, batch_size=4,
+                         num_joints=19, data_name='cmu', metadata_path=cmu,
+                         random_zoom=0.9, n_cudas=1, workers=1, occ_path=None,
+                         nexponent=False, to_depth=False, do_teach=False,
+                         attention=False)
+        loader, _ = get_data_loader(args, 'valid')
+        batch = next(iter(loader))
+        assert 'back_rotation' in batch
+        assert batch['back_rotation'].shape == (4, 3, 3)
+        # back_rotation must be orthonormal (product of rotations)
+        br = batch['back_rotation'][0]
+        np.testing.assert_allclose(br @ br.T, np.eye(3), atol=1e-4)
+
+    def test_determinism_same_epoch(self, cmu):
+        from datasets import get_data_loader
+        args = make_args(shuffle=False, geometry=True, colour=True,
+                         eraser=False, occluder=False, batch_size=3,
+                         num_joints=19, data_name='cmu', metadata_path=cmu,
+                         random_zoom=0.9, n_cudas=1, workers=1, occ_path=None,
+                         nexponent=False, to_depth=False, do_teach=False,
+                         attention=False)
+        loader, _ = get_data_loader(args, 'train')
+        first = next(iter(loader))
+        loader.set_epoch(loader.epoch - 1 if loader.epoch else 0)
+        loader2, _ = get_data_loader(args, 'train')
+        second = next(iter(loader2))
+        np.testing.assert_allclose(np.asarray(first['image']),
+                                   np.asarray(second['image']))
