@@ -77,16 +77,17 @@ def main():
 
     state, run_once = build(args)
 
-    # warmup/compile
+    # warmup/compile; a value fetch is the only reliable device sync through
+    # the axon relay (block_until_ready can return before execution finishes)
     for i in range(3):
         state, out = run_once(state, i)
-    jax.block_until_ready(out['cam_loss'])
+    float(out['cam_loss'])
 
-    n_steps = 20
+    n_steps = 40
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, out = run_once(state, 100 + i)
-    jax.block_until_ready(out['cam_loss'])
+    float(out['cam_loss'])
     dt = time.perf_counter() - t0
 
     ips = args.batch_size * n_steps / dt

@@ -22,13 +22,22 @@ from ..ops import colour, occluder, warp
 
 
 @functools.partial(jax.jit, static_argnames=('side_in', 'do_colour',
-                                             'do_eraser'))
+                                             'do_eraser', 'mxu_warp'))
 def process_color_batch(canvases, homographies, extents, key, side_in,
-                        do_colour, do_eraser):
+                        do_colour, do_eraser, mxu_warp=True):
     """(B, Hc, Wc, 3) uint8 canvases -> (B, side_in, side_in, 3) normalized
-    float32 inputs."""
+    float32 inputs.
+
+    mxu_warp selects the two-pass matmul resampler (fast path for training);
+    False keeps the gather resampler for strict cv2 parity at evaluation."""
     images = canvases.astype(jnp.float32) / 255.0
-    crops = warp.warp_batch(images, homographies, (side_in, side_in), extents)
+    if mxu_warp:
+        crops = warp.warp_batch_mxu(images, homographies,
+                                    (side_in, side_in), extents)
+        crops = jnp.clip(crops, 0.0, 1.0)
+    else:
+        crops = warp.warp_batch(images, homographies, (side_in, side_in),
+                                extents)
     if do_colour:
         keys = jax.random.split(key, crops.shape[0])
         crops = colour.random_color_batch(crops, keys)
@@ -85,14 +94,18 @@ def to_depth_correction(depth_crop, k_inv):
 
 
 @functools.partial(jax.jit, static_argnames=('side_in', 'nexponent',
-                                             'apply_to_depth'))
+                                             'apply_to_depth', 'mxu_warp'))
 def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
-                        side_in, nexponent, apply_to_depth):
+                        side_in, nexponent, apply_to_depth, mxu_warp=True):
     """(B, Hc, Wc, 1) float32 raw-depth canvases -> (B, side_in, side_in, 1)
     enhanced depth inputs. `thresh` is the per-sample dataset validity
     threshold (0.1 ntu / 0.5 pku), enabling mixed-dataset batches."""
-    crops = warp.warp_batch(canvases, homographies, (side_in, side_in),
-                            extents)
+    if mxu_warp:
+        crops = warp.warp_batch_mxu(canvases, homographies,
+                                    (side_in, side_in), extents)
+    else:
+        crops = warp.warp_batch(canvases, homographies, (side_in, side_in),
+                                extents)
     if apply_to_depth:
         crops = jax.vmap(to_depth_correction)(crops, k_invs)
     crops = crops / (10.0 / 255.0)

@@ -236,9 +236,12 @@ class PoseLoader:
                 sprites, alphas, shapes, self.side_in, self.colour,
                 self.eraser)
         else:
+            # train uses the MXU two-pass resampler; eval keeps the gather
+            # path for strict cv2 parity
             image = augment.process_color_batch(
                 device['canvas'], device['homography'], device['extent'], key,
-                self.side_in, self.colour, self.eraser)
+                self.side_in, self.colour, self.eraser,
+                mxu_warp=not self.at_test)
 
         out = dict(image=image)
         out.update(shard_batch(self.mesh, batch))
@@ -379,7 +382,7 @@ class DepthPoseLoader(PoseLoader):
         depth = augment.process_depth_batch(
             depth_dev['canvas'], depth_dev['homography'], depth_dev['extent'],
             depth_dev['k_inv'], shard_batch(self.mesh, thresh), self.side_in,
-            self.nexponent, self.apply_to_depth)
+            self.nexponent, self.apply_to_depth, mxu_warp=not self.at_test)
 
         if 'atten_map' in batch:
             # reference layout (B, 1, S, S) -> NHWC (B, S, S, 1) to broadcast

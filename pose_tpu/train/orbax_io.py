@@ -1,0 +1,40 @@
+"""Full-train-state checkpointing via orbax (beyond-reference extra).
+
+The reference's resume restores only the model weights and epoch counter
+(main.py:58-63); Adam moments restart from zero. These helpers persist the
+complete TrainState (params, batch_stats, optimizer state, step) so resume
+is bit-exact. The torch-format `model_<E>.pth` files from
+pose_tpu.train.logger remain the interchange format; this is the
+orbax-native sidecar (SURVEY.md §5).
+"""
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_train_state(directory, state, step=None):
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    step = int(state.step) if step is None else int(step)
+    with ocp.CheckpointManager(directory) as manager:
+        manager.save(step, args=ocp.args.StandardSave(
+            jax.device_get(state)))
+        manager.wait_until_finished()
+    return step
+
+
+def restore_train_state(directory, template_state, step=None):
+    """template_state provides the pytree structure/dtypes (from
+    steps.init_state)."""
+    directory = os.path.abspath(directory)
+    with ocp.CheckpointManager(directory) as manager:
+        if step is None:
+            step = manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints in {directory}')
+        restored = manager.restore(
+            step, args=ocp.args.StandardRestore(
+                jax.device_get(template_state)))
+    return restored
