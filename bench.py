@@ -83,7 +83,7 @@ def main():
         state, out = run_once(state, i)
     float(out['cam_loss'])
 
-    n_steps = 40
+    n_steps = 100
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, out = run_once(state, 100 + i)

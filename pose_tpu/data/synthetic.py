@@ -162,3 +162,19 @@ def make_ntu_fixture(root, num_train=16, num_valid=8, num_joints=17, seed=1,
     with open(metadata_path, 'w') as f:
         json.dump(metadata, f)
     return metadata_path
+
+
+def make_occluder_bank(occ_path, count=4, seed=3):
+    """Synthetic occluder sprites in the reference's occ_path format
+    (occluder_<i>.npy + mask_<i>.npy, augment_occluder.py:58-65)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(occ_path, exist_ok=True)
+    for i in range(count):
+        h, w = rng.randint(40, 120, 2)
+        sprite = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        yy, xx = np.mgrid[:h, :w]
+        mask = (((yy - h / 2) / (h / 2)) ** 2
+                + ((xx - w / 2) / (w / 2)) ** 2 <= 1).astype(np.float32)
+        np.save(os.path.join(occ_path, f'occluder_{i}.npy'), sprite)
+        np.save(os.path.join(occ_path, f'mask_{i}.npy'), mask)
+    return occ_path

@@ -104,7 +104,7 @@ def make_cam_train_step(model, args, key_index, tx):
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             cam_feat, new_stats = _apply(model, params, state.batch_stats,
@@ -133,7 +133,7 @@ def make_joint_train_step(model, args, key_index, tx, do_track):
     side_out = (args.side_in - 1) // args.stride + 1
     del side_out  # derived by the model; kept for clarity
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, mat_feat), new_stats = _apply(
@@ -219,7 +219,7 @@ def make_vanilla_train_step(model, args, key_index, tx):
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, _), new_stats = _apply(
@@ -245,7 +245,7 @@ def make_fusion_train_step(model, args, key_index, tx):
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, _), new_stats = _apply(
@@ -319,7 +319,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
         return jax.lax.stop_gradient(teach_cam), jax.lax.stop_gradient(
             teach_last)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, teacher_vars, batch, lr, alpha, semi_batch=None):
         teach_cam, teach_last = teacher_forward(teacher_vars, batch)
 

@@ -1,0 +1,111 @@
+"""Compatibility-shim tests: the reference-named root modules must expose the
+reference API surface and behave like the original implementations."""
+
+import numpy as np
+import pytest
+
+
+def test_cameralib_shim_reproject_image():
+    import cameralib
+    cam = cameralib.Camera(
+        [0, 0, 0], np.eye(3),
+        np.array([[200., 0, 64], [0, 200., 48], [0, 0, 1]]), None)
+    new_cam = cam.copy()
+    new_cam.zoom(0.5)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    out = cameralib.reproject_image(img, cam, new_cam, (96, 128))
+    assert out.shape == (96, 128, 3)
+    assert out.dtype == np.uint8
+    # zooming out by 2x maps the image into the center region
+    assert out[48, 64].sum() > 0
+
+
+def test_cameralib_shim_unpickles_reference_format():
+    import pickle
+
+    import cameralib
+    cam = cameralib.Camera([1, 2, 3], np.eye(3),
+                           np.array([[100., 0, 5], [0, 100., 5], [0, 0, 1]]),
+                           np.array([0.1, 0, 0, 0, 0]))
+    blob = pickle.dumps(cam)
+    back = pickle.loads(blob)
+    assert back.__class__.__module__.startswith('pose_tpu')
+    np.testing.assert_allclose(back.t, [1, 2, 3])
+
+
+def test_utils_shim_surface():
+    import utils
+    # decode path
+    rng = np.random.RandomState(0)
+    feat = rng.randn(2, 4 * 5, 9, 9).astype(np.float32)  # NCHW like torch
+    hm = utils.to_heatmap(feat, 4, 5, 9, 9)
+    assert hm.shape == (2, 5, 9, 9, 4)
+    coords = utils.decode(hm, 1000.0)
+    assert coords.shape == (2, 5, 3)
+
+    # attention map
+    atten = utils.get_attention(65, 32, np.float32([[32, 32]]), True)
+    assert atten.shape == (1, 3, 3)
+
+    # metrics
+    spec = rng.randn(2, 5, 3).astype(np.float32)
+    true = spec + 10.0
+    stats = utils.analyze(spec, true, np.ones((2, 5), bool), np.arange(5),
+                          dict(solid=50, close=100, rough=150))
+    assert stats['cam_mean'] == pytest.approx(np.sqrt(300), rel=1e-4)
+
+    # records
+    info = utils.JointInfo(['a', 'b'], [0, 0], [1, 0], 0)
+    assert info.key_index == 0
+    sample = utils.PoseSample('p.jpg', None, None, None, None)
+    assert sample.image_path == 'p.jpg'
+
+
+def test_mat_utils_shim_surface():
+    import mat_utils
+    rng = np.random.RandomState(1)
+    feat = rng.randn(2, 5, 9, 9).astype(np.float32)
+    hm = mat_utils.to_heatmap(feat, 5, 9, 9)
+    assert hm.shape == (2, 5, 9, 9)
+    coords = mat_utils.decode(hm, 65)
+    assert coords.shape == (2, 5, 2)
+
+    spec = rng.uniform(0, 65, (2, 5, 2))
+    true = spec + 2.0
+    stats = mat_utils.analyze(spec, true, np.ones((2, 5), bool), 65)
+    assert stats['mat_mean'] == pytest.approx(np.sqrt(8), rel=1e-4)
+
+
+def test_log_shim():
+    import log
+    assert hasattr(log, 'Logger')
+
+
+def test_boxlib_shim():
+    import boxlib
+    assert abs(boxlib.iou(np.float32([0, 0, 10, 10]),
+                          np.float32([0, 0, 10, 10])) - 1.0) < 1e-6
+
+
+def test_datasets_shim_build_info():
+    import datasets
+    info = datasets.build_info('cmu')
+    assert len(info.short_names) == 19
+    assert info.short_names[info.key_index] == 'BodyCenter'
+    # mirror of lShoulder is rShoulder
+    ls = info.short_names.index('lShoulder')
+    rs = info.short_names.index('rShoulder')
+    assert info.mirror[ls] == rs
+
+    info17 = datasets.build_info('h36m')
+    assert len(info17.short_names) == 17
+    assert info17.short_names[info17.key_index] == 'pelv'
+
+
+def test_depth_main_get_info():
+    import depth_main
+    info = depth_main.get_info()
+    assert len(info.short_names) == 17
+    assert info.short_names[info.key_index] == 'pelv'
