@@ -1,0 +1,132 @@
+"""Inference/serving API.
+
+The reference has no deployment path (training-repo only); this module gives
+the framework a production predictor: ahead-of-time-compiled forward +
+decode on fixed shapes, with optional on-device crop-warp from full frames
+and least-squares absolute-root reconstruction.
+
+    predictor = Predictor.from_checkpoint('model_20.pth', args)
+    coords = predictor.predict_crops(crops)                # (B, J, 3) mm
+    absolute = predictor.predict_absolute(crops, intrinsics)
+"""
+
+import types
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .data import augment
+from .models import build_model
+from .models.convert import load_torch_file, variables_from_torch
+from .ops import heatmap, recon
+
+
+def default_args(**over):
+    base = dict(model='resnet50', criterion='SmoothL1', half_acc=True,
+                extra_channel=False, joint_space=True, skip_relu=False,
+                early_dist=False, depth_only=False,
+                side_in=257, stride=16, num_joints=19, depth=16,
+                depth_range=1000.0)
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+class Predictor:
+    """Fixed-shape, jit-compiled pose predictor for one model variant."""
+
+    def __init__(self, args, variant='rgb', variables=None, batch_size=8):
+        self.args = args
+        self.variant = variant
+        self.batch_size = batch_size
+        self.model = build_model(args, variant)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                *self._sample_inputs(1), train=False)
+        self.variables = variables
+        self._forward = jax.jit(self._forward_impl)
+
+    def _sample_inputs(self, b):
+        s = self.args.side_in
+        if self.variant in ('fusion', 'partial_fusion'):
+            return (jnp.ones((b, s, s, 3)), jnp.ones((b, s, s, 1)))
+        in_ch = 1 if getattr(self.args, 'depth_only', False) else 3
+        if self.variant == 'rgb' and getattr(self.args, 'extra_channel',
+                                             False):
+            in_ch = 4
+        return (jnp.ones((b, s, s, in_ch)),)
+
+    @classmethod
+    def from_checkpoint(cls, path, args, variant='rgb', batch_size=8):
+        """Load a model_<E>.pth (ours or reference-converted)."""
+        blob = load_torch_file(path)
+        state_dict = blob['model'] if isinstance(blob, dict) and 'model' in blob else blob
+        predictor = cls(args, variant, None, batch_size)
+        predictor.variables = variables_from_torch(
+            jax.device_get(predictor.variables), state_dict, verbose=False)
+        return predictor
+
+    def _forward_impl(self, variables, *inputs):
+        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        out = self.model.apply(
+            {'params': cast(variables['params']),
+             'batch_stats': variables['batch_stats']},
+            *[cast(x) for x in inputs], train=False)
+        if self.variant == 'rgb' and self.args.joint_space:
+            cam_feat, mat_feat = out
+        elif self.variant == 'rgb':
+            cam_feat, mat_feat = out, None
+        else:
+            cam_feat, mat_feat = out[0], None
+        cam_feat = cam_feat.astype(jnp.float32)
+        hm = heatmap.to_heatmap3d(cam_feat, self.args.depth,
+                                  self.args.num_joints)
+        relat = heatmap.decode3d(hm, self.args.depth_range)
+        key = 0
+        relat = relat - relat[:, key:key + 1]  # root set by caller's key_index
+        result = {'relat_cam': relat}
+        if mat_feat is not None:
+            mat_feat = mat_feat.astype(jnp.float32)
+            hm2 = heatmap.to_heatmap2d(mat_feat, self.args.num_joints)
+            result['spec_mat'] = heatmap.decode2d(hm2, self.args.side_in)
+        return result
+
+    def predict_crops(self, *inputs):
+        """Root-relative 3D (and 2D when joint_space) for prepared crops."""
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        out = self._forward(self.variables, *inputs)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def predict_absolute(self, crops, intrinsics, key_index=0):
+        """Absolute camera-space joints via the least-squares root
+        reconstruction (requires joint_space; utils.get_deter_cam semantics,
+        utils.py:296-332)."""
+        out = self._forward(self.variables, jnp.asarray(crops))
+        if 'spec_mat' not in out:
+            raise ValueError('predict_absolute requires a joint_space model')
+        relat = out['relat_cam'] - out['relat_cam'][:, key_index:key_index + 1]
+        absolute = recon.recon_root(out['spec_mat'], relat,
+                                    jnp.asarray(intrinsics))
+        return np.asarray(absolute)
+
+    def aot_compile(self):
+        """Ahead-of-time compile the forward for the configured batch size
+        (removes first-request latency in serving)."""
+        inputs = self._sample_inputs(self.batch_size)
+        lowered = jax.jit(self._forward_impl).lower(self.variables, *inputs)
+        self._compiled = lowered.compile()
+        return self._compiled
+
+
+def preprocess_frames(frames, homographies, extents, side_in):
+    """Full-frame -> network-input crops on device (no augmentation), for
+    serving pipelines that feed raw camera frames plus per-frame crop
+    homographies."""
+    return augment.process_color_batch(
+        jnp.asarray(frames), jnp.asarray(homographies), jnp.asarray(extents),
+        jax.random.PRNGKey(0), side_in, False, False, mxu_warp=True)

@@ -1,0 +1,67 @@
+"""Predictor / serving API tests."""
+
+import numpy as np
+import pytest
+
+from pose_tpu.serve import Predictor, default_args, preprocess_frames
+
+
+def small_args(**over):
+    return default_args(model='resnet18', side_in=65, stride=32, depth=4,
+                        num_joints=5, half_acc=False, **over)
+
+
+def test_predict_crops_shapes():
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    crops = np.random.RandomState(0).randn(2, 65, 65, 3).astype(np.float32)
+    out = p.predict_crops(crops)
+    assert out['relat_cam'].shape == (2, 5, 3)
+    assert out['spec_mat'].shape == (2, 5, 2)
+    assert np.all(np.isfinite(out['relat_cam']))
+
+
+def test_predict_absolute():
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    crops = np.random.RandomState(1).randn(2, 65, 65, 3).astype(np.float32)
+    K = np.tile(np.array([[100., 0, 32], [0, 100., 32], [0, 0, 1]],
+                         np.float32), (2, 1, 1))
+    absolute = p.predict_absolute(crops, K)
+    assert absolute.shape == (2, 5, 3)
+    assert np.all(np.isfinite(absolute))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from pose_tpu.models.convert import (save_torch_file,
+                                         variables_to_torch_state)
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    ckpt = tmp_path / 'model_1.pth'
+    save_torch_file(dict(state={}, model=variables_to_torch_state(
+        jax.device_get(p.variables))), str(ckpt))
+
+    p2 = Predictor.from_checkpoint(str(ckpt), args, 'rgb', batch_size=2)
+    crops = np.random.RandomState(2).randn(2, 65, 65, 3).astype(np.float32)
+    np.testing.assert_allclose(p.predict_crops(crops)['relat_cam'],
+                               p2.predict_crops(crops)['relat_cam'],
+                               atol=1e-5)
+
+
+def test_aot_compile():
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=2)
+    compiled = p.aot_compile()
+    assert compiled is not None
+
+
+def test_preprocess_frames():
+    frames = np.random.RandomState(3).randint(
+        0, 255, (2, 96, 96, 3), dtype=np.uint8)
+    homs = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    homs[:, 0, 0] = homs[:, 1, 1] = 96 / 65
+    extents = np.tile([96, 96], (2, 1)).astype(np.int32)
+    out = np.asarray(preprocess_frames(frames, homs, extents, 65))
+    assert out.shape == (2, 65, 65, 3)
+    assert np.all(np.isfinite(out))
