@@ -51,3 +51,16 @@ def reproject_image(image, old_camera, new_camera, output_imshape, **kwargs):
 def reproject_image_fast(image, old_camera, new_camera, output_imshape,
                          *args, **kwargs):
     return reproject_image(image, old_camera, new_camera, output_imshape)
+
+
+from pose_tpu.geometry.camera import (is_all_visible_in_new_camera,  # noqa: E402,F401
+                                      visibility_homography_coords)
+
+
+def reproject_image_fast_if_visible(image, old_camera, new_camera,
+                                    output_imshape):
+    """Warp only when fully visible, else None (cameralib.py:737-762)."""
+    if not is_all_visible_in_new_camera(image, old_camera, new_camera,
+                                        output_imshape):
+        return None
+    return reproject_image(image, old_camera, new_camera, output_imshape)

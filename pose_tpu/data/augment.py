@@ -113,3 +113,26 @@ def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
     if nexponent:
         return jnp.exp(-crops) * veil
     return crops / 3.0
+
+
+def bbox_mask_channel(quads, side_in):
+    """Rasterize per-sample convex bbox quads (crop coords, (B, 4, 2)) into
+    {0,1} masks — the -extra_channel input (opts.py:14, resnet.py:142; the
+    reference snapshot never builds the dataset side of this channel, so it
+    is reconstructed as the bbox-region mask the flag describes)."""
+    b = quads.shape[0]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (side_in, side_in), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (side_in, side_in), 1)
+
+    def one(quad):
+        def edge(i):
+            a = quad[i]
+            bb = quad[(i + 1) % 4]
+            return ((bb[0] - a[0]) * (yy - a[1])
+                    - (bb[1] - a[1]) * (xx - a[0]))
+        crosses = jnp.stack([edge(i) for i in range(4)])
+        inside = (jnp.all(crosses >= 0, axis=0)
+                  | jnp.all(crosses <= 0, axis=0))
+        return inside.astype(jnp.float32)
+
+    return jax.vmap(one)(quads)[..., None]                  # (B, S, S, 1)

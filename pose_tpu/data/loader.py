@@ -27,6 +27,7 @@ import numpy as np
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from ..geometry import camera as cameralib
 from ..parallel import make_mesh, shard_batch
@@ -91,6 +92,7 @@ class PoseLoader:
         self.occluder = args.occluder and (not self.at_test)
         self.random_zoom = args.random_zoom
         self.joint_space = getattr(args, 'joint_space', False)
+        self.extra_channel = getattr(args, 'extra_channel', False)
         self.batch_size = args.batch_size
         self.shuffle = args.shuffle and (not self.at_test)
         self.seed = seed
@@ -147,6 +149,12 @@ class PoseLoader:
         out = dict(homography=matrices['homography'],
                    true_cam=camera_coords,
                    true_val=valid.astype(bool))
+        if self.extra_channel:
+            bx, by, bw, bh = np.asarray(sample['bbox'], np.float32)
+            corners = np.array([[bx, by], [bx + bw, by],
+                                [bx + bw, by + bh], [bx, by + bh]], np.float32)
+            out['bbox_quad'] = cameralib.reproject_points(
+                corners, cam, new_cam).astype(np.float32)
         if decode:
             image = imread(sample['image'])
             if image.ndim == 2:
@@ -243,6 +251,11 @@ class PoseLoader:
                 self.side_in, self.colour, self.eraser,
                 mxu_warp=not self.at_test)
 
+        if 'bbox_quad' in batch:
+            quads = shard_batch(self.mesh, batch.pop('bbox_quad'))
+            mask = augment.bbox_mask_channel(quads, self.side_in)
+            image = jnp.concatenate([image, mask], axis=-1)
+
         out = dict(image=image)
         out.update(shard_batch(self.mesh, batch))
         out.update(host_extras)
@@ -304,6 +317,22 @@ class DepthPoseLoader(PoseLoader):
         # covers the colour stream, so parse per sample here
         return self._collate([
             self.parse_sample(self.samples[i], int(i)) for i in idxs])
+
+    def viz(self, args, batch_file='./batch.npy'):
+        """Predicted-vs-GT overlay on the depth view for the first
+        batch_size samples (reference Dataset.viz, depth_datasets.py:248-263);
+        expects predictions dumped by -save_last."""
+        from ..tools.viz import visualize
+
+        cam_specs = np.load(batch_file)
+        for index in range(args.batch_size):
+            sample = self.samples[index]
+            depth_image = sample_lib.depth_image_path(self.args.data_name,
+                                                      self.root, sample)
+            depth_cam = sample_lib.depth_cam_for(self.args.data_name,
+                                                 self.depth_cams, sample)
+            visualize(depth_image, depth_cam, sample['skeleton'],
+                      cam_specs[index], sample['depth_bbox'])
 
     def parse_sample(self, sample, index, decode=True):
         rng = self._rng(index)

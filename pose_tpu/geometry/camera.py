@@ -551,3 +551,25 @@ def look_at_skeleton(orig_cam, cam_coords, output_side):
         box = make_box(cam)
         cam = look_at_box(cam, box, output_side)
     return cam
+
+
+def visibility_homography_coords(old_camera, new_camera, output_imshape):
+    """Source coordinates of every output pixel for visibility checks
+    (cameralib.py:714-725)."""
+    hom = get_homography(old_camera, new_camera)
+    y, x = np.mgrid[:output_imshape[0], :output_imshape[1]].astype(np.float32)
+    coords = np.stack([x, y, np.ones_like(x)], axis=0).reshape(3, -1)
+    coords = hom @ coords
+    coords = coords[:2] / coords[2:]
+    return coords.reshape(2, output_imshape[0], output_imshape[1])
+
+
+def is_all_visible_in_new_camera(image, old_camera, new_camera,
+                                 output_imshape):
+    """True if the whole reprojected view lies inside `image`
+    (cameralib.py:714-725)."""
+    x, y = visibility_homography_coords(old_camera, new_camera,
+                                        output_imshape)
+    return bool(np.logical_and(
+        np.logical_and(np.all(0 <= x), np.all(x < image.shape[1])),
+        np.logical_and(np.all(0 <= y), np.all(y < image.shape[0]))))
