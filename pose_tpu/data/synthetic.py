@@ -178,3 +178,104 @@ def make_occluder_bank(occ_path, count=4, seed=3):
         np.save(os.path.join(occ_path, f'occluder_{i}.npy'), sprite)
         np.save(os.path.join(occ_path, f'mask_{i}.npy'), mask)
     return occ_path
+
+
+def make_h36m_fixture(root, num_train=8, num_valid=4, num_joints=17, seed=2,
+                      imshape=(270, 360)):
+    """H36M-style store: samples.pkl + split.json keyed by activity folder
+    (h36m_split matches the parent-directory prefix, datasets.py:30-33)."""
+    rng = np.random.RandomState(seed)
+    samples = []
+    folders = {'train': 'Walking.cam0', 'valid': 'Eating.cam0',
+               'test': 'Sitting.cam0'}
+    counts = {'train': num_train, 'valid': num_valid, 'test': num_valid}
+    for phase, count in counts.items():
+        folder = os.path.join(root, 'images', folders[phase])
+        os.makedirs(folder, exist_ok=True)
+        for i in range(count):
+            cam = _synth_camera(rng, imshape)
+            skel_cam = _synth_skeleton(rng, num_joints)
+            skel_world = cam.camera_to_world(skel_cam)
+            img, pix = _render(cam, skel_cam, imshape, rng)
+            bbox = np.concatenate([pix.min(0) - 15,
+                                   pix.max(0) - pix.min(0) + 30]).astype(np.float32)
+            path = os.path.join(folder, f'frame_{i:06d}.jpg')
+            Image.fromarray(img).save(path, quality=95)
+            samples.append(dict(image=path, camera=cam, bbox=bbox,
+                                skeleton=skel_world,
+                                valid=np.ones(num_joints, bool)))
+
+    with open(os.path.join(root, 'samples.pkl'), 'wb') as f:
+        pickle.dump(samples, f)
+    with open(os.path.join(root, 'split.json'), 'w') as f:
+        json.dump({p: [folders[p].split('.')[0]] for p in folders}, f)
+    metadata = dict(root=dict(h36m=root), loader=dict(h36m='datasets'),
+                    no_depth=dict(h36m=True),
+                    thresholds=dict(h36m=dict(solid=50.0, close=100.0,
+                                              rough=150.0)))
+    metadata_path = os.path.join(root, 'metadata.json')
+    with open(metadata_path, 'w') as f:
+        json.dump(metadata, f)
+    return metadata_path
+
+
+def make_pku_fixture(root, num_train=8, num_valid=4, num_joints=17, seed=4,
+                     imshape=(270, 360), depth_imshape=(240, 320)):
+    """PKU-style store: final_samples.pkl, DEPTH_IMAGE/<video>.<frame>.png,
+    cameras.pkl keyed by camera letter (depth_datasets.py:101-123)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, 'images'), exist_ok=True)
+    os.makedirs(os.path.join(root, 'DEPTH_IMAGE'), exist_ok=True)
+
+    cams_by_letter = {'M': _synth_camera(rng, depth_imshape)}
+    videos = {'train': '0001-M', 'valid': '0002-M', 'test': '0003-M'}
+    counts = {'train': num_train, 'valid': num_valid, 'test': num_valid}
+
+    samples = []
+    for phase, count in counts.items():
+        video = videos[phase]
+        for i in range(count):
+            cam = _synth_camera(rng, imshape)
+            dcam = cams_by_letter[video[5]]
+            skel_cam = _synth_skeleton(rng, num_joints)
+            skel_world = cam.camera_to_world(skel_cam)
+
+            img, pix = _render(cam, skel_cam, imshape, rng)
+            bbox = np.concatenate([pix.min(0) - 15,
+                                   pix.max(0) - pix.min(0) + 30]).astype(np.float32)
+            dpix = dcam.world_to_image(skel_world)
+            dbbox = np.concatenate([dpix.min(0) - 15,
+                                    dpix.max(0) - dpix.min(0) + 30]).astype(np.float32)
+            ddepth = dcam.world_to_camera(skel_world)[:, 2]
+            dimg = np.zeros(depth_imshape, np.uint16)
+            yy, xx = np.mgrid[:depth_imshape[0], :depth_imshape[1]]
+            for j, p in enumerate(dpix):
+                mask = (xx - p[0]) ** 2 + (yy - p[1]) ** 2 < 36
+                dimg[mask] = np.uint16(ddepth[j])
+
+            frame = i
+            path = os.path.join(root, 'images', f'{video}_{frame:04d}.jpg')
+            Image.fromarray(img).save(path, quality=95)
+            Image.fromarray(dimg).save(
+                os.path.join(root, 'DEPTH_IMAGE',
+                             video + '.' + str(frame) + '.png'))
+            samples.append(dict(image=path, camera=cam, bbox=bbox,
+                                depth_bbox=dbbox, skeleton=skel_world,
+                                valid=np.ones(num_joints, bool),
+                                video=video, frame=frame))
+
+    with open(os.path.join(root, 'final_samples.pkl'), 'wb') as f:
+        pickle.dump(samples, f)
+    with open(os.path.join(root, 'cameras.pkl'), 'wb') as f:
+        pickle.dump(cams_by_letter, f)
+    with open(os.path.join(root, 'split.json'), 'w') as f:
+        json.dump({p: [videos[p]] for p in videos}, f)
+
+    metadata = dict(root=dict(pku=root), loader=dict(pku='depth_datasets'),
+                    no_depth=dict(pku=False),
+                    thresholds=dict(pku=dict(solid=50.0, close=100.0,
+                                             rough=150.0)))
+    metadata_path = os.path.join(root, 'metadata.json')
+    with open(metadata_path, 'w') as f:
+        json.dump(metadata, f)
+    return metadata_path
