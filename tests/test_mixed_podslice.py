@@ -1,0 +1,82 @@
+"""BASELINE config 5: multi-dataset (CMU + NTU + PKU) mixed training with
+full on-device augmentation over an 8-device mesh (pod-slice simulation on
+the virtual CPU mesh)."""
+
+import json
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def make_args(metadata_path, data_name, **over):
+    base = dict(criterion='SmoothL1', half_acc=False, depth=4, num_joints=17,
+                depth_range=1000.0, side_in=65, stride=32, grad_norm=5.0,
+                weight_decay=4e-5, loss_div=10.0, learn_rate=1e-4,
+                n_epochs=1, do_track=False, joint_space=False,
+                shuffle=True, geometry=True, colour=True, eraser=False,
+                occluder=False, occ_path=None, occ_count=0, batch_size=8,
+                data_name=data_name, metadata_path=metadata_path,
+                random_zoom=0.9, n_cudas=8, workers=1, nexponent=False,
+                to_depth=False, do_teach=False, attention=False,
+                semi_teach=False, extra_channel=False, model='resnet18',
+                depth_only=False, skip_relu=False, early_dist=False)
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.fixture(scope='module')
+def combined(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_ntu_fixture, make_pku_fixture
+    root = tmp_path_factory.mktemp('mix')
+    ntu_meta = make_ntu_fixture(str(root / 'ntu'), num_train=8, num_valid=4)
+    pku_meta = make_pku_fixture(str(root / 'pku'), num_train=8, num_valid=4)
+    merged = json.load(open(ntu_meta))
+    pku = json.load(open(pku_meta))
+    for key in ('root', 'loader', 'no_depth', 'thresholds'):
+        merged[key].update(pku[key])
+    path = str(root / 'metadata.json')
+    json.dump(merged, open(path, 'w'))
+    return path
+
+
+def test_mixed_training_on_8_device_mesh(combined):
+    assert len(jax.devices()) >= 8, 'conftest must provide 8 virtual devices'
+    import jax.numpy as jnp
+
+    from depth_main import get_info
+    from pose_tpu.data.mixed import build_mixed_loader
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_replicated
+    from pose_tpu.train import steps
+
+    info = get_info()
+    args = make_args(combined, 'ntu')
+    mesh = make_mesh(8)
+    loader = build_mixed_loader(args, 'train', info, ['ntu', 'pku'],
+                                metadata_path=combined, mesh=mesh)
+    assert len(loader) == 2
+
+    model = build_model(args, 'depth')      # RGB-input depthnet variant
+    tx = steps.make_optimizer(args)
+    state = steps.init_state(model, args, tx,
+                             (jnp.ones((1, 65, 65, 3)),))
+    state = shard_replicated(mesh, state)
+    step = steps.make_vanilla_train_step(model, args, info.key_index, tx)
+
+    losses = []
+    seen = set()
+    for batch in loader:
+        seen.add(batch['_dataset'])
+        device_batch = dict(in_image=batch['color'],
+                            true_cam=batch['true_cam'],
+                            true_val=batch['true_val'])
+        state, out = step(state, device_batch, 1e-4)
+        losses.append(float(out['cam_loss']))
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert seen == {0, 1}  # both datasets contributed batches
+    # params remain replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
