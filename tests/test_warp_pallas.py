@@ -1,0 +1,59 @@
+"""Fused Pallas warp kernel vs the gather/MXU resamplers (interpret mode)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pose_tpu.ops import warp
+from pose_tpu.ops.warp_pallas import warp_batch_pallas
+
+
+def _inputs(shear=0.0):
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    homs = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    homs[:, 0, 0] = [1.5, 1.3]
+    homs[:, 1, 1] = [1.4, 1.2]
+    homs[:, 0, 2] = [4, -2]
+    homs[:, 0, 1] = shear
+    exts = np.tile([96, 128], (2, 1)).astype(np.int32)
+    return imgs, homs, exts
+
+
+def test_matches_exact_gather_axis_aligned():
+    imgs, homs, exts = _inputs(shear=0.0)
+    g = np.asarray(warp.warp_batch(jnp.asarray(imgs).astype(jnp.float32),
+                                   jnp.asarray(homs), (65, 65),
+                                   jnp.asarray(exts)))
+    out = np.asarray(warp_batch_pallas(jnp.asarray(imgs), jnp.asarray(homs),
+                                       jnp.asarray(exts), (65, 65),
+                                       interpret=True))
+    np.testing.assert_allclose(out, g, atol=1e-3)
+
+
+def test_matches_mxu_two_pass_with_shear():
+    imgs, homs, exts = _inputs(shear=0.05)
+    m = np.asarray(warp.warp_batch_mxu(
+        jnp.asarray(imgs).astype(jnp.float32), jnp.asarray(homs), (65, 65),
+        jnp.asarray(exts)))
+    out = np.asarray(warp_batch_pallas(jnp.asarray(imgs), jnp.asarray(homs),
+                                       jnp.asarray(exts), (65, 65),
+                                       interpret=True))
+    # identical two-pass semantics; difference is only the MXU path's bf16
+    # weights (~0.5% of the 0-255 range)
+    assert np.abs(out - m).max() < 2.0
+
+
+def test_extent_zero_border():
+    rng = np.random.RandomState(1)
+    imgs = np.zeros((1, 96, 128, 3), np.uint8)
+    imgs[0, :60, :80] = rng.randint(1, 255, (60, 80, 3))
+    homs = np.eye(3, dtype=np.float32)[None]
+    exts = np.array([[60, 80]], np.int32)
+    out = np.asarray(warp_batch_pallas(jnp.asarray(imgs), jnp.asarray(homs),
+                                       jnp.asarray(exts), (96, 96),
+                                       interpret=True))
+    # rows >= 60 and cols >= 80 read beyond the extent -> zero
+    assert np.abs(out[0, 61:, :]).max() == 0
+    assert np.abs(out[0, :, 81:]).max() == 0
+    assert out[0, :60, :80].max() > 0
