@@ -55,7 +55,9 @@ def process_color_batch_occluded(canvases, homographies, extents, key,
     """process_color_batch with occluder pasting (-occluder, BASELINE
     config 4) between the warp and the colour chain."""
     images = canvases.astype(jnp.float32) / 255.0
-    crops = warp.warp_batch(images, homographies, (side_in, side_in), extents)
+    crops = warp.warp_batch_mxu(images, homographies, (side_in, side_in),
+                                extents)
+    crops = jnp.clip(crops, 0.0, 1.0)
     okeys = jax.random.split(jax.random.fold_in(key, 2), crops.shape[0])
     crops = jax.vmap(
         lambda im, k: occluder.random_occlu(im, k, sprites, alphas, shapes)

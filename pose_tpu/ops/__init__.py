@@ -1,1 +1,2 @@
-from . import colour, heatmap, occluder, partial_conv, recon, warp
+from . import (colour, heatmap, occluder, partial_conv, recon, warp,
+               warp_pallas)

@@ -6,12 +6,16 @@ the whole sample resident in VMEM — source canvas, intermediate and output —
 and regenerates the hat weights on the VPU per scanline, so HBM sees only the
 canvas read and the crop write (~60 MB/batch).
 
-Status (v5e, batch 64, 384²→257²): correct (matches the MXU path within its
-bf16 weight tolerance) but 43 ms vs the MXU path's 9.5 ms — the full-height
-scanline loop spends ~99% of its VPU FMAs on zero hat-weights. Making it win
-requires band-limiting each scanline to the ~2-tap support per output tile
-(planned: v/x tiling with per-tile dynamic band start); until then
-warp_batch_mxu remains the production path.
+Status (v5e, batch 64, 384²→257²):
+- warp_batch_pallas (full scanlines): correct, 43 ms — ~99% of VPU FMAs land
+  on zero hat-weights.
+- warp_batch_pallas_banded: correct (validated vs the gather and MXU paths on
+  TPU), 8.2 ms at band=64 / 6.7 ms at band=32, vs 9.5 ms for the MXU matmul
+  path. The band-start estimate assumes near-upright transforms; callers gate
+  with `pallas_band_ok` (conservative) and fall back to warp_batch_mxu.
+  warp_batch_mxu remains the default production path — the ~1-3 ms gain does
+  not yet justify the host-side gating in the loader; revisit when the train
+  step (56 ms) stops dominating.
 
 Same two-pass (Catmull-Smith) semantics as _warp_single_mxu: pass 1 resamples
 columns at Y(v, x_s), pass 2 resamples rows at X(u, v); zero border beyond
@@ -98,6 +102,206 @@ def _warp_kernel(hom_ref, ext_ref, src_ref, out_ref, inter_ref, *, src_hw,
 
     for c in range(3):
         out_ref[0, c, :, :] = jnp.transpose(out_t[c])[:out_h, :]
+
+
+def _banded_kernel(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
+                   inter_ref, intert_ref, outt_ref, *, src_hw, out_hw,
+                   v_pad, u_pad, band):
+    """Band-limited variant: each source scanline updates only the ~band
+    output rows whose hat weights can be nonzero (the resampling is locally
+    supported: 2 taps + the shear spread across the tile width). The band
+    start comes from the scanline's inverse-map slope; callers must gate on
+    `pallas_band_ok` — a violated band silently drops weight."""
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+
+    i = pl.program_id(0)
+    h00 = hom_ref[i, 0]
+    h01 = hom_ref[i, 1]
+    h02 = hom_ref[i, 2]
+    h10 = hom_ref[i, 3]
+    h11 = hom_ref[i, 4]
+    h12 = hom_ref[i, 5]
+    h20 = hom_ref[i, 6]
+    h21 = hom_ref[i, 7]
+    h22 = hom_ref[i, 8]
+    eh = ext_ref[i, 0]
+    ew = ext_ref[i, 1]
+
+    def y_scalar(vf, xf):
+        denom_u = h00 - h20 * xf
+        u_of = (xf * (h21 * vf + h22) - h01 * vf - h02) / denom_u
+        w_h = h20 * u_of + h21 * vf + h22
+        return (h10 * u_of + h11 * vf + h12) / w_h
+
+    # precompute the full inverse maps once (cheap: one pass each)
+    v = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 1).astype(jnp.float32)
+    denom_u = h00 - h20 * xs
+    u_of = (xs * (h21 * v + h22) - h01 * v - h02) / denom_u
+    w_h = h20 * u_of + h21 * v + h22
+    Y = (h10 * u_of + h11 * v + h12) / w_h
+    y_ref[:, :] = jnp.where(jnp.isfinite(Y), Y, -1e9)
+
+    for c in range(3):
+        inter_ref[c, :, :] = jnp.zeros((v_pad, src_w), jnp.float32)
+
+    # per-scanline band start from the inverse slope at mid-image
+    xm = jnp.float32(src_w // 2)
+    y0 = y_scalar(jnp.float32(0), xm)
+    slope = (y_scalar(jnp.float32(8), xm) - y0) / 8.0
+
+    def pass1_body(sy, _):
+        syf = sy.astype(jnp.float32)
+        v_c = (syf - y0) / slope
+        # dynamic sublane offsets must be 8-aligned for multi-tile loads
+        vlo = jnp.clip(v_c.astype(jnp.int32) - band // 2, 0, v_pad - band)
+        vlo = (vlo // 8) * 8
+        yb = y_ref[pl.ds(vlo, band), :]
+        w = _tri(yb - syf) * jnp.where(syf <= eh - 1, 1.0, 0.0)
+        for c in range(3):
+            row = src_ref[0, c, pl.ds(sy, 1), :].astype(jnp.float32)
+            inter_ref[c, pl.ds(vlo, band), :] = (
+                inter_ref[c, pl.ds(vlo, band), :] + w * row)
+        return 0
+
+    jax.lax.fori_loop(0, src_h, pass1_body, 0)
+
+    for c in range(3):
+        intert_ref[c, :, :] = jnp.transpose(inter_ref[c, :, :])
+
+    # pass 2 (transposed accumulation), banded over u; rows are padded to
+    # u_pad so the 8-aligned band clamp can still cover the last column
+    u_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 0).astype(jnp.float32)
+    v_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 1).astype(jnp.float32)
+    w_x = h20 * u_t + h21 * v_t + h22
+    X_t = (h00 * u_t + h01 * v_t + h02) / w_x
+    xt_ref[:, :] = jnp.where(jnp.isfinite(X_t), X_t, -1e9)
+
+    for c in range(3):
+        outt_ref[c, :, :] = jnp.zeros((u_pad, v_pad), jnp.float32)
+
+    vm = jnp.float32(out_h // 2)
+
+    def x_scalar(uf, vf):
+        return (h00 * uf + h01 * vf + h02) / (h20 * uf + h21 * vf + h22)
+
+    x0 = x_scalar(jnp.float32(0), vm)
+    slope2 = (x_scalar(jnp.float32(8), vm) - x0) / 8.0
+
+    def pass2_body(sx, _):
+        sxf = sx.astype(jnp.float32)
+        u_c = (sxf - x0) / slope2
+        ulo = jnp.clip(u_c.astype(jnp.int32) - band // 2, 0, u_pad - band)
+        ulo = (ulo // 8) * 8
+        xb = xt_ref[pl.ds(ulo, band), :]
+        w2 = _tri(xb - sxf) * jnp.where(sxf <= ew - 1, 1.0, 0.0)
+        for c in range(3):
+            col = intert_ref[c, pl.ds(sx, 1), :]
+            outt_ref[c, pl.ds(ulo, band), :] = (
+                outt_ref[c, pl.ds(ulo, band), :] + w2 * col)
+        return 0
+
+    jax.lax.fori_loop(0, src_w, pass2_body, 0)
+
+    for c in range(3):
+        out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
+
+
+def pallas_band_ok(homographies, src_hw, out_hw, band=64, margin=12):
+    """Host-side gate for the banded kernel: True when every sample's inverse
+    maps are monotone with bounded band support. numpy, O(B) scalars."""
+    import numpy as np
+
+    h = np.asarray(homographies, np.float64)
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+
+    def y_at(hh, vf, xf):
+        denom_u = hh[0, 0] - hh[2, 0] * xf
+        if abs(denom_u) < 1e-9:
+            return np.nan
+        u_of = (xf * (hh[2, 1] * vf + hh[2, 2]) - hh[0, 1] * vf
+                - hh[0, 2]) / denom_u
+        w_h = hh[2, 0] * u_of + hh[2, 1] * vf + hh[2, 2]
+        return (hh[1, 0] * u_of + hh[1, 1] * vf + hh[1, 2]) / w_h
+
+    def x_at(hh, uf, vf):
+        return ((hh[0, 0] * uf + hh[0, 1] * vf + hh[0, 2])
+                / (hh[2, 0] * uf + hh[2, 1] * vf + hh[2, 2]))
+
+    half = band // 2 - margin
+    for hh in h:
+        xm = src_w // 2
+        y0 = y_at(hh, 0.0, xm)
+        slope = (y_at(hh, 8.0, xm) - y0) / 8.0
+        if not np.isfinite(slope) or slope <= 1e-3:
+            return False
+        # worst deviation of the true band center from the linear estimate
+        for vf in (0.0, out_h / 2, out_h - 1.0):
+            for xf in (0.0, src_w - 1.0):
+                yv = y_at(hh, vf, xf)
+                if not np.isfinite(yv):
+                    return False
+                v_est = (yv - y0) / slope
+                if abs(v_est - vf) + 2.0 / slope > half:
+                    return False
+        vm = out_h // 2
+        x0 = x_at(hh, 0.0, vm)
+        slope2 = (x_at(hh, 8.0, vm) - x0) / 8.0
+        if not np.isfinite(slope2) or slope2 <= 1e-3:
+            return False
+        for uf in (0.0, out_w - 1.0):
+            for vf in (0.0, out_h - 1.0):
+                xv = x_at(hh, uf, vf)
+                u_est = (xv - x0) / slope2
+                if abs(u_est - uf) + 2.0 / slope2 > half:
+                    return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=('out_shape', 'interpret',
+                                             'band'))
+def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
+                             band=64, interpret=False):
+    """Band-limited fused warp; gate with pallas_band_ok first."""
+    b, src_h, src_w, _ = canvases.shape
+    out_h, out_w = out_shape
+    v_pad = ((out_h + 7) // 8) * 8
+
+    planar = jnp.transpose(canvases, (0, 3, 1, 2)).astype(jnp.float32)
+    homs = homographies.reshape(b, 9).astype(jnp.float32)
+    exts = extents.reshape(b, 2).astype(jnp.float32)
+
+    u_pad = ((out_w + 7) // 8) * 8
+    kernel = functools.partial(_banded_kernel, src_hw=(src_h, src_w),
+                               out_hw=(out_h, out_w), v_pad=v_pad,
+                               u_pad=u_pad, band=band)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, src_h, src_w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, out_h, out_w),
+                               lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v_pad, src_w), jnp.float32),       # Y
+            pltpu.VMEM((((out_w + 7) // 8) * 8, v_pad), jnp.float32),  # X_t
+            pltpu.VMEM((3, v_pad, src_w), jnp.float32),    # inter
+            pltpu.VMEM((3, src_w, v_pad), jnp.float32),    # inter_t
+            pltpu.VMEM((3, ((out_w + 7) // 8) * 8, v_pad), jnp.float32),  # out_t
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_w), jnp.float32),
+        interpret=interpret,
+    )(homs, exts, planar)
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'interpret'))
