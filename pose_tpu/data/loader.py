@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from ..geometry import camera as cameralib
 from ..parallel import make_mesh, shard_batch
-from ..ops import heatmap as heatmap_ops
 from . import augment, crop, samples as sample_lib
 
 

@@ -247,7 +247,6 @@ class PoseResNet(nn.Module):
         fusion = self.variant in ('fusion', 'partial_fusion')
         partial_stem = self.variant == 'partial_depth'
         partial_depth_branch = self.variant == 'partial_fusion'
-        dist_family = self.variant != 'rgb'
 
         def stem(inp, conv_name, bn_name):
             h = nn.Conv(64, (7, 7), strides=(2, 2),

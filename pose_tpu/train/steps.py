@@ -130,9 +130,6 @@ def make_joint_train_step(model, args, key_index, tx, do_track):
     loss = 0.5*(cam+mat) + recon (train.py:105-112)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    side_out = (args.side_in - 1) // args.stride + 1
-    del side_out  # derived by the model; kept for clarity
-
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
