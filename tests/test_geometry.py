@@ -158,3 +158,62 @@ def test_crop_pipeline_matches_reference_sequence():
     far_in_new = new_cam.world_to_image(cam.image_to_world(far_side))
     span = np.linalg.norm(far_in_new[0] - far_in_new[1])
     np.testing.assert_allclose(span, side_in, rtol=1e-4)
+
+
+def test_rotate_matches_scipy_intrinsic_yxz():
+    """Camera.rotate uses transforms3d euler2mat(yaw, pitch, roll, 'ryxz').T
+    (cameralib.py:110-112); verify our euler2mat against scipy's intrinsic
+    YXZ convention."""
+    from scipy.spatial.transform import Rotation
+
+    from pose_tpu.geometry.rotations import euler2mat
+
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        yaw, pitch, roll = rng.uniform(-1.5, 1.5, 3)
+        ours = euler2mat(yaw, pitch, roll, 'ryxz')
+        ref = Rotation.from_euler('YXZ', [yaw, pitch, roll]).as_matrix()
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_static_euler_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    from pose_tpu.geometry.rotations import euler2mat
+
+    rng = np.random.RandomState(8)
+    for _ in range(5):
+        a, b, c = rng.uniform(-1.5, 1.5, 3)
+        ours = euler2mat(a, b, c, 'syxz')
+        ref = Rotation.from_euler('yxz', [a, b, c]).as_matrix()
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_axangle_matches_cv2_rodrigues():
+    from pose_tpu.geometry.rotations import axangle2mat
+
+    rng = np.random.RandomState(9)
+    for _ in range(5):
+        v = rng.uniform(-1, 1, 3)
+        ours = axangle2mat(v)
+        ref = cv2.Rodrigues(v.astype(np.float64))[0]
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_quat_roundtrip():
+    from pose_tpu.geometry.rotations import axangle2mat, mat2quat, quat2mat
+
+    rng = np.random.RandomState(10)
+    for _ in range(5):
+        m = axangle2mat(rng.uniform(-2, 2, 3))
+        np.testing.assert_allclose(quat2mat(mat2quat(m)), m, atol=1e-9)
+
+
+def test_orbit_around_preserves_distance():
+    cam = make_distorted_camera()
+    point = np.float32([100, 50, 2000])
+    d_before = np.linalg.norm(cam.t - point)
+    cam.orbit_around(point, 0.7)
+    assert abs(np.linalg.norm(cam.t - point) - d_before) < 1e-2
+    # R stays orthonormal
+    np.testing.assert_allclose(cam.R @ cam.R.T, np.eye(3), atol=1e-5)
