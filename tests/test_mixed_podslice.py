@@ -80,3 +80,23 @@ def test_mixed_training_on_8_device_mesh(combined):
     # params remain replicated across all 8 devices
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_batch_padding_to_mesh(combined):
+    """Odd batch sizes are padded to the mesh size with zero-weight rows;
+    metrics and losses must only count real samples."""
+    import jax.numpy as jnp
+
+    from depth_main import get_info
+    from pose_tpu.data.loader import DepthPoseLoader
+    from pose_tpu.parallel import make_mesh
+
+    info = get_info()
+    args = make_args(combined, 'ntu', batch_size=3)
+    mesh = make_mesh(8)
+    loader = DepthPoseLoader(args, 'train', info, mesh=mesh)
+    batch = next(iter(loader))
+    assert batch['_true_size'] == 3
+    assert batch['color'].shape[0] % 8 == 0
+    padded = np.asarray(batch['true_val'])[batch['_true_size']:]
+    assert not padded.any()          # padded rows carry no loss weight
