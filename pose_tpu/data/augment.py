@@ -22,16 +22,26 @@ from ..ops import colour, occluder, warp
 
 
 @functools.partial(jax.jit, static_argnames=('side_in', 'do_colour',
-                                             'do_eraser', 'mxu_warp'))
+                                             'do_eraser', 'mxu_warp',
+                                             'warp_impl'))
 def process_color_batch(canvases, homographies, extents, key, side_in,
-                        do_colour, do_eraser, mxu_warp=True):
+                        do_colour, do_eraser, mxu_warp=True, warp_impl=None):
     """(B, Hc, Wc, 3) uint8 canvases -> (B, side_in, side_in, 3) normalized
     float32 inputs.
 
-    mxu_warp selects the two-pass matmul resampler (fast path for training);
-    False keeps the gather resampler for strict cv2 parity at evaluation."""
+    warp_impl: 'mxu' (default train path), 'gather' (strict cv2 parity, used
+    at evaluation), or 'pallas_banded' (fused VMEM kernel; callers must gate
+    with warp_pallas.pallas_band_ok). The legacy mxu_warp bool maps to
+    'mxu'/'gather' when warp_impl is None."""
+    if warp_impl is None:
+        warp_impl = 'mxu' if mxu_warp else 'gather'
     images = canvases.astype(jnp.float32) / 255.0
-    if mxu_warp:
+    if warp_impl == 'pallas_banded':
+        from ..ops.warp_pallas import warp_batch_pallas_banded
+        crops = warp_batch_pallas_banded(images, homographies, extents,
+                                         (side_in, side_in))
+        crops = jnp.clip(crops, 0.0, 1.0)
+    elif warp_impl == 'mxu':
         crops = warp.warp_batch_mxu(images, homographies,
                                     (side_in, side_in), extents)
         crops = jnp.clip(crops, 0.0, 1.0)

@@ -98,6 +98,10 @@ class PoseLoader:
         self.epoch = 0
 
         self.canvas = canvas or (512, 512)
+        # POSE_TPU_WARP=mxu|gather|pallas_banded selects the train-time
+        # resampler (pallas_banded falls back to mxu per batch when
+        # pallas_band_ok rejects the homographies)
+        self.warp_impl = os.environ.get('POSE_TPU_WARP', 'mxu')
 
         # native C++ decode pool (threaded libjpeg, native/pose_loader.cc);
         # falls back to PIL per-sample decode when unavailable
@@ -243,12 +247,18 @@ class PoseLoader:
                 sprites, alphas, shapes, self.side_in, self.colour,
                 self.eraser)
         else:
-            # train uses the MXU two-pass resampler; eval keeps the gather
-            # path for strict cv2 parity
+            # train uses the configured resampler (default: MXU two-pass);
+            # eval keeps the gather path for strict cv2 parity
+            impl = 'gather' if self.at_test else self.warp_impl
+            if impl == 'pallas_banded':
+                from ..ops.warp_pallas import pallas_band_ok
+                if not pallas_band_ok(np.asarray(device['homography']),
+                                      self.canvas,
+                                      (self.side_in, self.side_in)):
+                    impl = 'mxu'
             image = augment.process_color_batch(
                 device['canvas'], device['homography'], device['extent'], key,
-                self.side_in, self.colour, self.eraser,
-                mxu_warp=not self.at_test)
+                self.side_in, self.colour, self.eraser, warp_impl=impl)
 
         if 'bbox_quad' in batch:
             quads = shard_batch(self.mesh, batch.pop('bbox_quad'))
