@@ -18,49 +18,49 @@ def build_parser():
         description='Parser for all the training options')
 
     # bool options
-    parser.add_argument('-shuffle', action='store_true', help='Reshuffle data at each epoch')
+    parser.add_argument('-shuffle', action='store_true', help='reshuffle the sample order every epoch')
     parser.add_argument('-half_acc', action='store_true', help='half-precision compute (bf16 on TPU)')
-    parser.add_argument('-save_record', action='store_true', help='Path to save train record')
-    parser.add_argument('-test_only', action='store_true', help='only performs test')
-    parser.add_argument('-val_only', action='store_true', help='only performs validation')
-    parser.add_argument('-pretrain', action='store_true', help='whether to load an imagenet pre-train')
-    parser.add_argument('-depth_host', action='store_true', help='whether to fill the depth branch with weights from a depth-only pre-train')
-    parser.add_argument('-resume', action='store_true', help='whether to continue from a previous checkpoint')
-    parser.add_argument('-extra_channel', action='store_true', help='whether to append an extra channel that masks the bbox')
-    parser.add_argument('-joint_space', action='store_true', help='whether to allow joint-space train data')
-    parser.add_argument('-do_track', action='store_true', help='whether to regress cam coords via least square optim')
-    parser.add_argument('-depth_only', action='store_true', help='only accepts depth input')
-    parser.add_argument('-nexponent', action='store_true', help='whether to feed in the negative exponent of raw depth values')
-    parser.add_argument('-to_depth', action='store_true', help='whether to convert raw depth to actual depth')
-    parser.add_argument('-partial_conv', action='store_true', help='whether to replace all convs in Resnet with partial convs')
-    parser.add_argument('-do_fusion', action='store_true', help='whether to accept both color and depth input')
-    parser.add_argument('-do_teach', action='store_true', help='whether to force a student to mimic its teacher')
-    parser.add_argument('-semi_teach', action='store_true', help='whether to force a student to mimic its teacher on additional unlabelled image pairs')
-    parser.add_argument('-early_dist', action='store_true', help='whether to impose distillation loss on the third stage feature map')
-    parser.add_argument('-skip_relu', action='store_true', help='whether to impose distillation loss on the feature map before relu is applied')
-    parser.add_argument('-sigmoid', action='store_true', help='whether to apply sigmoid function to the feature maps before norm is taken')
-    parser.add_argument('-bin_dist', action='store_true', help='whether to do pixel-wise binary cross entropy loss for distillation instead')
-    parser.add_argument('-attention', action='store_true', help='whether to apply attention map on distillation target')
-    parser.add_argument('-save_last', action='store_true', help='whether to save the last feature map of the model')
-    parser.add_argument('-do_freeze', action='store_true', help='whether to freeze the batchnorm layers of both networks during distillation')
+    parser.add_argument('-save_record', action='store_true', help='persist the per-epoch train/test record')
+    parser.add_argument('-test_only', action='store_true', help='evaluate on the test split and exit')
+    parser.add_argument('-val_only', action='store_true', help='evaluate on the validation split and exit')
+    parser.add_argument('-pretrain', action='store_true', help='warm-start the trunk from an ImageNet checkpoint')
+    parser.add_argument('-depth_host', action='store_true', help='seed the depth branch from a depth-only checkpoint')
+    parser.add_argument('-resume', action='store_true', help='continue training from -model_path')
+    parser.add_argument('-extra_channel', action='store_true', help='append a bbox-mask input channel')
+    parser.add_argument('-joint_space', action='store_true', help='enable the 2D (joint-space) head and losses')
+    parser.add_argument('-do_track', action='store_true', help='add the least-squares root-reconstruction loss')
+    parser.add_argument('-depth_only', action='store_true', help='train on the depth modality only')
+    parser.add_argument('-nexponent', action='store_true', help='encode depth as exp(-d) instead of d/3')
+    parser.add_argument('-to_depth', action='store_true', help='apply the ray-length depth correction')
+    parser.add_argument('-partial_conv', action='store_true', help='use mask-propagating partial convolutions')
+    parser.add_argument('-do_fusion', action='store_true', help='two-stream RGB+depth fusion model')
+    parser.add_argument('-do_teach', action='store_true', help='distill a frozen teacher into the student')
+    parser.add_argument('-semi_teach', action='store_true', help='add unlabeled semi-supervised distillation batches')
+    parser.add_argument('-early_dist', action='store_true', help='distill the stage-3 feature map instead of stage-4')
+    parser.add_argument('-skip_relu', action='store_true', help='tap pre-ReLU feature maps for distillation')
+    parser.add_argument('-sigmoid', action='store_true', help='squash feature maps with sigmoid before the distillation norm')
+    parser.add_argument('-bin_dist', action='store_true', help='pixelwise BCE distillation objective')
+    parser.add_argument('-attention', action='store_true', help='weight the distillation target by joint-centered Gaussians')
+    parser.add_argument('-save_last', action='store_true', help='dump last-stage features/predictions per batch')
+    parser.add_argument('-do_freeze', action='store_true', help='freeze BN of teacher and student during distillation')
     parser.add_argument('-static_filter', action='store_true', help='whether to filter out near-static poses (used by launch scripts)')
 
     # augmentation options
-    parser.add_argument('-geometry', action='store_true', help='whether to perform geometry augmentation')
-    parser.add_argument('-colour', action='store_true', help='whether to perform colour augmentation')
-    parser.add_argument('-eraser', action='store_true', help='whether to perform eraser augmentation')
-    parser.add_argument('-occluder', action='store_true', help='whether to perform occluder augmentation')
+    parser.add_argument('-geometry', action='store_true', help='random flip/zoom geometry augmentation')
+    parser.add_argument('-colour', action='store_true', help='photometric colour augmentation')
+    parser.add_argument('-eraser', action='store_true', help='random-erase augmentation')
+    parser.add_argument('-occluder', action='store_true', help='synthetic occluder pasting augmentation')
 
     # required options
-    parser.add_argument('-model', required=True, help='Backbone architecture')
-    parser.add_argument('-model_path', help='Path to an imagenet pre-train or checkpoint')
-    parser.add_argument('-teacher_path', help='Path to a checkpoint of the teacher model')
-    parser.add_argument('-host_path', help='Path to a checkpoint of the depth-only host model')
-    parser.add_argument('-suffix', required=True, help='Model suffix')
-    parser.add_argument('-data_name', required=True, help='name of dataset')
-    parser.add_argument('-occ_path', help='Root path to occluders')
-    parser.add_argument('-save_path', required=True, help='Path to save train record')
-    parser.add_argument('-criterion', required=True, help='criterion function for estimation loss')
+    parser.add_argument('-model', required=True, help='backbone (resnet18 | resnet50)')
+    parser.add_argument('-model_path', help='ImageNet pre-train or checkpoint path')
+    parser.add_argument('-teacher_path', help='frozen-teacher checkpoint path')
+    parser.add_argument('-host_path', help='depth-only host checkpoint path')
+    parser.add_argument('-suffix', required=True, help='run-name suffix for the save directory')
+    parser.add_argument('-data_name', required=True, help='dataset (cmu | h36m | ntu | pku)')
+    parser.add_argument('-occ_path', help='occluder sprite bank directory')
+    parser.add_argument('-save_path', required=True, help='directory for checkpoints and records')
+    parser.add_argument('-criterion', required=True, help='loss criterion name (SmoothL1 | MSE | L1)')
 
     # data paths used by the launch scripts (absent from the reference opts.py)
     parser.add_argument('-data_root_path', help='root path of the raw dataset')
@@ -69,34 +69,34 @@ def build_parser():
                         help='machine-local dataset metadata json (roots, loaders, thresholds)')
 
     # integer options
-    parser.add_argument('-warmup', default=1, type=int, help='number of warmup epochs')
-    parser.add_argument('-n_epochs', default=20, type=int, help='number of total epochs')
-    parser.add_argument('-batch_size', default=64, type=int, help='Size of mini-batches for each iteration')
-    parser.add_argument('-semi_batch', default=16, type=int, help='Size of mini-batches of unlabelled image pairs for each iteration')
+    parser.add_argument('-warmup', default=1, type=int, help='warmup epochs for the depth-engine LR schedule')
+    parser.add_argument('-n_epochs', default=20, type=int, help='total training epochs')
+    parser.add_argument('-batch_size', default=64, type=int, help='global batch size')
+    parser.add_argument('-semi_batch', default=16, type=int, help='batch size of the unlabeled semi-supervised stream')
     parser.add_argument('-n_cudas', default=2, type=int, help='Number of devices in the mesh (reference: cuda devices)')
     parser.add_argument('-workers', default=2, type=int, help='Number of host threads decoding samples')
-    parser.add_argument('-num_processes', default=6, type=int, help='Number of subprocesses in the process pool')
-    parser.add_argument('-side_in', default=257, type=int, help='side of input image')
-    parser.add_argument('-stride', default=16, type=int, help='stride of network for train')
-    parser.add_argument('-num_joints', default=19, type=int, help='number of joints in the dataset')
-    parser.add_argument('-depth', default=16, type=int, help='depth side of volumetric heatmap')
-    parser.add_argument('-alpha_span', default=10, type=int, help='warmup span of distillation setup')
+    parser.add_argument('-num_processes', default=6, type=int, help='process-pool size for the offline tools')
+    parser.add_argument('-side_in', default=257, type=int, help='network input side (pixels)')
+    parser.add_argument('-stride', default=16, type=int, help='output stride of the trunk')
+    parser.add_argument('-num_joints', default=19, type=int, help='joint count of the skeleton')
+    parser.add_argument('-depth', default=16, type=int, help='z-bins of the volumetric heatmap')
+    parser.add_argument('-alpha_span', default=10, type=int, help='epochs over which alpha anneals')
     parser.add_argument('-occ_count', default=100, type=int, help='number of occluder sprites in occ_path')
 
     # train options
-    parser.add_argument('-warmup_factor', default=0.2, type=float, help='learn rate decay for warmup epochs')
-    parser.add_argument('-learn_rate', default=5e-5, type=float, help='base learn rate for train')
-    parser.add_argument('-learn_decay', default=0.2, type=float, help='learn rate decay factor')
-    parser.add_argument('-grad_norm', default=5.0, type=float, help='norm for gradient clip')
+    parser.add_argument('-warmup_factor', default=0.2, type=float, help='LR multiplier during warmup')
+    parser.add_argument('-learn_rate', default=5e-5, type=float, help='base learning rate')
+    parser.add_argument('-learn_decay', default=0.2, type=float, help='LR decay factor at schedule steps')
+    parser.add_argument('-grad_norm', default=5.0, type=float, help='global gradient-norm clip')
     parser.add_argument('-grad_scaling', default=32.0, type=float, help='loss scaling magnitude (unused under bf16; kept for CLI parity)')
-    parser.add_argument('-momentum', default=0.9, type=float, help='Momentum for training')
-    parser.add_argument('-weight_decay', default=4e-5, type=float, help='Weight decay for training')
-    parser.add_argument('-box_margin', default=0.6, type=float, help='factor for generating pseudo bbox from image coords')
-    parser.add_argument('-alpha_dest', default=0.1, type=float, help='dest value for alpha under distillation setup')
-    parser.add_argument('-alpha_init', default=0.1, type=float, help='init value for alpha under distillation setup')
-    parser.add_argument('-depth_range', default=1000.0, type=float, help='depth range of prediction')
-    parser.add_argument('-random_zoom', default=0.9, type=float, help='scale for random zoom operation')
-    parser.add_argument('-loss_div', default=10.0, type=float, help='divisor applied to both ground-truth and estimation before loss is calculated')
+    parser.add_argument('-momentum', default=0.9, type=float, help='momentum (kept for CLI parity)')
+    parser.add_argument('-weight_decay', default=4e-5, type=float, help='Adam weight decay (torch-style, pre-moment)')
+    parser.add_argument('-box_margin', default=0.6, type=float, help='margin when deriving pseudo-bboxes from 2D coords')
+    parser.add_argument('-alpha_dest', default=0.1, type=float, help='final distillation weight alpha')
+    parser.add_argument('-alpha_init', default=0.1, type=float, help='initial distillation weight alpha')
+    parser.add_argument('-depth_range', default=1000.0, type=float, help='metric range of the volumetric z-axis (mm)')
+    parser.add_argument('-random_zoom', default=0.9, type=float, help='lower bound of the random zoom draw')
+    parser.add_argument('-loss_div', default=10.0, type=float, help='divisor applied to GT and prediction before the loss')
 
     # metric thresholds read by the trainer (train.py:47-51; absent from the
     # reference opts.py — defaults follow common 3D-pose conventions, mm)
