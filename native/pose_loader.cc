@@ -254,3 +254,140 @@ int pl_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- PNG depth
+
+#include <png.h>
+
+namespace {
+
+// Decode a grayscale PNG (8- or 16-bit) into float32 scaled like
+// matplotlib.image.imread (pose_tpu/data/loader.py imread): 16-bit / 65535,
+// 8-bit / 255.
+bool decode_png_gray(const char* path, std::vector<float>* pixels,
+                     int* height, int* width) {
+  FILE* file = std::fopen(path, "rb");
+  if (!file) return false;
+  png_byte header[8];
+  if (std::fread(header, 1, 8, file) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(file);
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(file);
+    return false;
+  }
+  png_init_io(png, file);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  const int w = png_get_image_width(png, info);
+  const int h = png_get_image_height(png, info);
+  const int bit_depth = png_get_bit_depth(png, info);
+  const int color_type = png_get_color_type(png, info);
+
+  // collapse everything to single-channel gray
+  if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_RGBA ||
+      color_type == PNG_COLOR_TYPE_PALETTE) {
+    if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  }
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  if (bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (bit_depth == 16) png_set_swap(png);  // PNG is big-endian; host is LE
+  png_read_update_info(png, info);
+
+  const size_t row_bytes = png_get_rowbytes(png, info);
+  std::vector<uint8_t> raw(static_cast<size_t>(h) * row_bytes);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y) rows[y] = raw.data() + y * row_bytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(file);
+
+  *height = h;
+  *width = w;
+  pixels->resize(static_cast<size_t>(h) * w);
+  if (bit_depth == 16) {
+    const uint16_t* src16 = reinterpret_cast<const uint16_t*>(raw.data());
+    for (size_t i = 0; i < pixels->size(); ++i) {
+      (*pixels)[i] = src16[i] / 65535.0f;
+    }
+  } else {
+    for (size_t i = 0; i < pixels->size(); ++i) {
+      (*pixels)[i] = raw[i] / 255.0f;
+    }
+  }
+  return true;
+}
+
+void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
+                          int32_t* extent, float* prescale, int* status) {
+  std::vector<float> pixels;
+  int h = 0, w = 0;
+  if (!decode_png_gray(path, &pixels, &h, &w)) {
+    *status = 1;
+    extent[0] = 0;
+    extent[1] = 0;
+    *prescale = 1.0f;
+    return;
+  }
+  const int ch = loader->canvas_h;
+  const int cw = loader->canvas_w;
+  // depth canvases must not be resampled (raw sensor values); oversized
+  // frames are center-cropped never in practice — report prescale 1 and clip
+  const int eh = std::min(h, ch);
+  const int ew = std::min(w, cw);
+  std::memset(out_slot, 0, sizeof(float) * static_cast<size_t>(ch) * cw);
+  for (int y = 0; y < eh; ++y) {
+    std::memcpy(out_slot + static_cast<size_t>(y) * cw,
+                pixels.data() + static_cast<size_t>(y) * w,
+                sizeof(float) * ew);
+  }
+  extent[0] = eh;
+  extent[1] = ew;
+  *prescale = 1.0f;
+  *status = (h > ch || w > cw) ? 2 : 0;  // 2 = clipped (caller may warn)
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a batch of grayscale PNG paths into out (n, canvas_h, canvas_w)
+// float32 canvases. Returns the number of hard failures (clipped frames
+// count as success).
+int pl_decode_png_batch(void* handle, const char** paths, int n, float* out,
+                        int32_t* extents, float* prescales) {
+  Loader* loader = static_cast<Loader*>(handle);
+  const size_t slot_size =
+      static_cast<size_t>(loader->canvas_h) * loader->canvas_w;
+
+  std::vector<int> status(n, 0);
+  std::atomic<int> remaining(n);
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  for (int i = 0; i < n; ++i) {
+    loader->pool.Submit([=, &status, &remaining, &done_mu, &done_cv] {
+      decode_png_into_slot(loader, paths[i], out + slot_size * i,
+                           extents + 2 * i, prescales + i, &status[i]);
+      if (remaining.fetch_sub(1) == 1) {
+        std::unique_lock<std::mutex> lock(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lock(done_mu);
+  done_cv.wait(lock, [&] { return remaining.load() == 0; });
+
+  int failures = 0;
+  for (int s : status) failures += (s == 1);
+  return failures;
+}
+
+}  // extern "C"

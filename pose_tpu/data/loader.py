@@ -313,6 +313,13 @@ class DepthPoseLoader(PoseLoader):
         super().__init__(args, phase, data_info, samples, mesh, canvas, seed)
         self.root = root
         self.depth_canvas = depth_canvas or (424, 512)
+        self._dnative = None
+        try:
+            from .native_loader import NativeDepthLoader
+            self._dnative = NativeDepthLoader(self.depth_canvas,
+                                              num_threads=max(args.workers, 1))
+        except Exception:
+            pass
         self.depth_cams = sample_lib.load_depth_cameras(args.data_name, root)
         self.do_teach = args.do_teach
         self.attention = args.attention
@@ -361,30 +368,38 @@ class DepthPoseLoader(PoseLoader):
                                               self.side_in, do_flip,
                                               random_zoom, self.geometry)
 
-        image = imread(sample['image'])
-        if image.dtype != np.uint8:
-            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-        canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
-        hom = crop.scale_homography(matrices['homography'], prescale)
-
-        depth_image = imread(depth_path)
-        if depth_image.ndim == 3:
-            depth_image = depth_image[..., 0]
-        depth_image = depth_image[..., None].astype(np.float32)
-        dcanvas, dextent, dprescale = crop.pad_to_canvas(depth_image,
-                                                         self.depth_canvas)
-        dhom = crop.scale_homography(dmatrices['homography'], dprescale)
-
         camera_coords, valid, back_rotate = crop.transform_gt(
             cam, new_cam, sample['skeleton'], sample['valid'],
             self.data_info.mirror, do_flip, self.at_test)
 
-        out = dict(canvas=canvas, extent=extent, homography=hom,
-                   depth_canvas=dcanvas, depth_extent=dextent,
-                   depth_homography=dhom,
+        out = dict(homography=matrices['homography'],
+                   depth_homography=dmatrices['homography'],
                    depth_k_inv=np.linalg.inv(
                        depth_cam.intrinsic_matrix).astype(np.float32),
                    true_cam=camera_coords, true_val=valid.astype(bool))
+        if decode:
+            image = imread(sample['image'])
+            if image.dtype != np.uint8:
+                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
+            out['canvas'] = canvas
+            out['extent'] = extent
+            out['homography'] = crop.scale_homography(out['homography'],
+                                                      prescale)
+
+            depth_image = imread(depth_path)
+            if depth_image.ndim == 3:
+                depth_image = depth_image[..., 0]
+            depth_image = depth_image[..., None].astype(np.float32)
+            dcanvas, dextent, dprescale = crop.pad_to_canvas(
+                depth_image, self.depth_canvas)
+            out['depth_canvas'] = dcanvas
+            out['depth_extent'] = dextent
+            out['depth_homography'] = crop.scale_homography(
+                out['depth_homography'], dprescale)
+        else:
+            out['image_path'] = sample['image']
+            out['depth_path'] = depth_path
         if back_rotate is not None:
             out['back_rotation'] = back_rotate.astype(np.float32)
         elif self.do_teach:

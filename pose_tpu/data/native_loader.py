@@ -87,3 +87,41 @@ def available():
         return True
     except Exception:
         return False
+
+
+class NativeDepthLoader:
+    """PNG (8/16-bit grayscale) decode pool for the depth modality; float32
+    canvases scaled like matplotlib imread (16-bit / 65535)."""
+
+    def __init__(self, canvas_hw, num_threads=4):
+        self.canvas_hw = tuple(canvas_hw)
+        self._lib = get_lib()
+        self._lib.pl_decode_png_batch.restype = ctypes.c_int
+        self._lib.pl_decode_png_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float)]
+        self._handle = self._lib.pl_create(num_threads, canvas_hw[0],
+                                           canvas_hw[1])
+
+    def __del__(self):
+        if getattr(self, '_handle', None):
+            self._lib.pl_destroy(self._handle)
+            self._handle = None
+
+    def decode_batch(self, paths):
+        n = len(paths)
+        ch, cw = self.canvas_hw
+        canvases = np.empty((n, ch, cw), np.float32)
+        extents = np.empty((n, 2), np.int32)
+        prescales = np.empty((n,), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = self._lib.pl_decode_png_batch(
+            self._handle, arr, n,
+            canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            extents.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            prescales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if failures:
+            bad = [p for p, e in zip(paths, extents) if e[0] == 0]
+            raise IOError(f'{failures} PNGs failed to decode: {bad[:5]}')
+        return canvases[..., None], extents, prescales
