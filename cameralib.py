@@ -64,3 +64,19 @@ def reproject_image_fast_if_visible(image, old_camera, new_camera,
                                         output_imshape):
         return None
     return reproject_image(image, old_camera, new_camera, output_imshape)
+
+
+def get_image_loader():
+    """Vestigial in the reference (a TF1 decode_and_crop_jpeg session,
+    cameralib.py:765-793); the native C++ decode pool replaces it
+    (native/pose_loader.cc)."""
+    raise NotImplementedError(
+        'TF1 ImageLoader is vestigial; use '
+        'pose_tpu.data.native_loader.NativeImageLoader')
+
+
+def reproject_image_fast_partial(image_path, old_camera, new_camera,
+                                 output_imshape):
+    """Unfinished stub in the reference returning None
+    (cameralib.py:796-801); preserved as a no-op for API parity."""
+    return None

@@ -53,3 +53,13 @@ def show_mat(image_coord, ax, bbox=None):
     """Skeleton/bbox overlay (reference datasets.py:157-183)."""
     from pose_tpu.tools.viz import show_mat as _show_mat
     _show_mat(image_coord, ax, bbox, skeleton='h36m')
+
+
+def h36m_split(split, phase, sample):
+    from pose_tpu.data.samples import h36m_split as _s
+    return _s(split, phase, sample)
+
+
+def cmu_split(split, phase, sample):
+    from pose_tpu.data.samples import cmu_split as _s
+    return _s(split, phase, sample)

@@ -72,3 +72,16 @@ def decode(heatmap, depth_range):
     from pose_tpu.ops.heatmap import decode3d
     import jax.numpy as jnp
     return decode3d(jnp.asarray(np.asarray(heatmap)), depth_range)
+
+
+def least_square(A, b, weight):
+    """Weighted least squares (reference utils.py:279-293): solve
+    (A^T W A) x = A^T W b with per-constraint weights tiled over the two
+    image-coordinate rows."""
+    weight = np.tile(weight.reshape(-1, 1) ** 0.5, (1, 2))
+    A = A * weight.reshape(-1, 1)
+    b = b * weight.reshape(-1)
+    return np.linalg.solve(np.dot(A.T, A), np.dot(A.T, b))
+
+
+from builtins import zip as xzip  # noqa: E402,F401  (reference utils.py:12)
