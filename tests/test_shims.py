@@ -109,3 +109,56 @@ def test_depth_main_get_info():
     info = depth_main.get_info()
     assert len(info.short_names) == 17
     assert info.short_names[info.key_index] == 'pelv'
+
+
+def test_model_module_shims_construct():
+    import types
+
+    import jax.numpy as jnp
+
+    def args(**over):
+        base = dict(model='resnet18', side_in=65, stride=32, num_joints=5,
+                    depth=4, joint_space=False, extra_channel=False,
+                    depth_only=True, skip_relu=False, early_dist=False,
+                    pretrain=False)
+        base.update(over)
+        return types.SimpleNamespace(**base)
+
+    import depthnet
+    import fusionnet
+    import partial_depthnet
+    import resnet as resnet_mod
+
+    m, v = resnet_mod.resnet18(args(depth_only=False))
+    out = m.apply(v, jnp.ones((1, 65, 65, 3)), train=False)
+    assert out.shape == (1, 3, 3, 20)
+
+    m, v = depthnet.resnet18(args(), pretrain=False)
+    z, feat = m.apply(v, jnp.ones((1, 65, 65, 1)), train=False)
+    assert z.shape == (1, 3, 3, 20)
+
+    m, v = fusionnet.resnet18(args(depth_only=False), pretrain=False)
+    z, feat = m.apply(v, jnp.ones((1, 65, 65, 3)), jnp.ones((1, 65, 65, 1)),
+                      train=False)
+    assert z.shape == (1, 3, 3, 20)
+
+    m, v = partial_depthnet.resnet18(args(), pretrain=False)
+    z, feat = m.apply(v, jnp.ones((1, 65, 65, 1)), train=False)
+    assert z.shape == (1, 3, 3, 20)
+
+
+def test_partial_conv_shim_call_shape():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from partial_conv import PartialConv
+
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(3, 3, 2, 4).astype(np.float32))
+    conv = PartialConv(k, stride=1, padding=1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    mask = jnp.ones((1, 8, 8, 1))
+    out, mask_out = conv(x, mask)
+    assert out.shape == (1, 8, 8, 4)
+    assert mask_out.shape == (1, 8, 8, 1)
