@@ -421,9 +421,18 @@ class DepthPoseLoader(PoseLoader):
             'canvas': batch.pop('canvas'),
             'homography': batch.pop('homography'),
             'extent': batch.pop('extent')})
-        color = augment.process_color_batch(
-            color_dev['canvas'], color_dev['homography'], color_dev['extent'],
-            key, self.side_in, self.colour, self.eraser)
+        if self._occ_bank is not None:
+            sprites, alphas, shapes = self._occ_bank
+            color = augment.process_color_batch_occluded(
+                color_dev['canvas'], color_dev['homography'],
+                color_dev['extent'], key, sprites, alphas, shapes,
+                self.side_in, self.colour, self.eraser)
+        else:
+            color = augment.process_color_batch(
+                color_dev['canvas'], color_dev['homography'],
+                color_dev['extent'], key, self.side_in, self.colour,
+                self.eraser, warp_impl='mxu' if not self.at_test
+                else 'gather')
 
         depth_dev = shard_batch(self.mesh, {
             'canvas': batch.pop('depth_canvas'),
