@@ -329,10 +329,31 @@ class DepthPoseLoader(PoseLoader):
         self.enhance_thresh = 0.1 if args.data_name == 'ntu' else 0.5
 
     def _decode_batch(self, idxs):
-        # the depth modality is PNG (PIL path); the native JPEG pool only
-        # covers the colour stream, so parse per sample here
-        return self._collate([
-            self.parse_sample(self.samples[i], int(i)) for i in idxs])
+        """Native path: the C++ pools decode the colour JPEGs and the depth
+        PNGs; anything else falls back to per-sample PIL decode."""
+        use_native = (self._native is not None
+                      and self._dnative is not None and all(
+                          self.samples[i]['image'].lower().endswith(
+                              ('.jpg', '.jpeg')) for i in idxs))
+        if not use_native:
+            return self._collate([
+                self.parse_sample(self.samples[i], int(i)) for i in idxs])
+
+        parsed = [self.parse_sample(self.samples[i], int(i), decode=False)
+                  for i in idxs]
+        color_paths = [p.pop('image_path') for p in parsed]
+        depth_paths = [p.pop('depth_path') for p in parsed]
+        canvases, extents, prescales = self._native.decode_batch(color_paths)
+        dcanvases, dextents, _ = self._dnative.decode_batch(depth_paths)
+        for p, prescale in zip(parsed, prescales):
+            p['homography'] = crop.scale_homography(p['homography'],
+                                                    float(prescale))
+        batch = self._collate(parsed)
+        batch['canvas'] = canvases
+        batch['extent'] = extents
+        batch['depth_canvas'] = dcanvases
+        batch['depth_extent'] = dextents
+        return batch
 
     def viz(self, args, batch_file='./batch.npy'):
         """Predicted-vs-GT overlay on the depth view for the first
