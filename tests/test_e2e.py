@@ -78,3 +78,38 @@ def test_depth_main_vanilla(ntu_fixture, tmp_path):
     out = run_cli('depth_main.py', flags)
     _spec_line(out)
     assert 'Cam Loss' in out
+
+
+def test_main_imagenet_pretrain_with_extra_channel(cmu_fixture, tmp_path):
+    """The cmu_train.sh warm-start path: a torchvision-style ImageNet
+    state_dict (incl. fc.* keys) loads with the extra-channel conv1 surgery
+    through the CLI (resnet.py:213-236 semantics)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pose_tpu.models import PoseResNet
+    from pose_tpu.models.convert import (save_torch_file,
+                                         variables_to_torch_state)
+
+    m = PoseResNet(block='basic', layers=(2, 2, 2, 2), variant='rgb',
+                   in_channels=3, stride=32, num_joints=19, depth=4)
+    v = m.init(jax.random.PRNGKey(42), jnp.ones((1, 65, 65, 3)), train=False)
+    state = variables_to_torch_state(jax.device_get(v))
+    state = {k: val for k, val in state.items()
+             if not k.startswith(('cam_regressor', 'mat_regressor'))}
+    rng = np.random.RandomState(0)
+    state['fc.weight'] = rng.randn(1000, 512).astype(np.float32)
+    state['fc.bias'] = rng.randn(1000).astype(np.float32)
+    ckpt = str(tmp_path / 'imagenet_resnet18.pth')
+    save_torch_file(state, ckpt)
+
+    save = str(tmp_path / 'save')
+    flags = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                    '-metadata_path', cmu_fixture, '-save_path', save,
+                    '-shuffle', '-save_record', '-pretrain',
+                    '-extra_channel', '-model_path', ckpt]
+    out = run_cli('main.py', flags)
+    assert 'key [ fc.weight ] deleted' in out
+    _spec_line(out)
