@@ -323,3 +323,45 @@ class TestOccluder:
             jnp.asarray(alphas), jnp.asarray(shapes)))
         assert out.max() > 0.9  # sprite pasted somewhere
         assert out.min() == 0.0
+
+
+class TestDistortedWarp:
+    def test_vs_cv2_general_path(self):
+        """The general reproject_image path for a distorted source camera
+        (cameralib.py:408-434): rays through inv(K_new R_new), forward
+        distortion polynomial, remap."""
+        from pose_tpu.geometry import Camera
+
+        rng = np.random.RandomState(5)
+        img = rng.uniform(0, 1, (120, 160, 3)).astype(np.float32)
+        K = np.array([[220.0, 0, 80], [0, 225.0, 60], [0, 0, 1]], np.float32)
+        dist = np.float32([-0.2, 0.12, 1e-3, -8e-4, -0.02])
+        cam = Camera([0, 0, 0], np.eye(3), K, dist)
+
+        new_cam = cam.copy()
+        new_cam.turn_towards(target_image_point=np.float32([90, 70]))
+        new_cam.undistort()
+        new_cam.square_pixels()
+        new_cam.zoom(0.7)
+        new_cam.center_principal_point((65, 65))
+
+        # golden: per-pixel coords via the undistorted-new-camera formula
+        partial = (cam.R @ np.linalg.inv(new_cam.R)
+                   @ np.linalg.inv(new_cam.intrinsic_matrix))
+        y, x = np.mgrid[:65, :65].astype(np.float32)
+        grid = np.stack([x, y, np.ones_like(x)], -1).reshape(-1, 3)
+        old_cam_coords = grid @ partial.T
+        oldim = cam.camera_to_image(old_cam_coords).reshape(65, 65, 2)
+        golden = cv2.remap(img, oldim[..., 0], oldim[..., 1],
+                           cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+                           borderValue=0)
+
+        d5 = np.zeros(5, np.float32)
+        d5[:len(cam.distortion_coeffs)] = cam.distortion_coeffs
+        ours = np.asarray(warp.warp_single_distorted(
+            jnp.asarray(img), jnp.asarray(partial.astype(np.float32)),
+            jnp.asarray(cam.intrinsic_matrix),
+            jnp.asarray(d5), (65, 65)))
+        # cv2's fixed-point interpolation quantization bounds the diff
+        assert np.abs(ours - golden).max() < 0.05
+        assert np.abs(ours - golden).mean() < 0.005
