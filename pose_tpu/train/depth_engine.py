@@ -165,11 +165,11 @@ class DepthTrainer(BaseTrainer):
                 semi_batch = semi.get('_true_size', len(semi['color']))
                 semi_device = dict(color=semi['color'], depth=semi['depth'],
                                    atten_map=semi['atten_map'])
-                self.state, out = self._distill_step(
+                self.state, self.teacher_vars, out = self._distill_step(
                     self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
                     lr, alpha, self._shard(semi_device, semi_device.keys()))
             else:
-                self.state, out = self._distill_step(
+                self.state, self.teacher_vars, out = self._distill_step(
                     self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
                     lr, alpha)
 

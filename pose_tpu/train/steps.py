@@ -294,8 +294,15 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
     semi-supervised extra batch folded into the same update.
 
     With -do_freeze, BN runs in eval mode for both networks
-    (depth_train.py:156-158); otherwise the teacher's BN uses batch stats
-    (torch modules default to train mode even under no_grad).
+    (depth_train.py:156-158); otherwise the teacher's BN uses *batch*
+    statistics — torch modules stay in train mode under no_grad — and its
+    running stats drift (momentum 0.9) exactly as the reference's teacher
+    does. The step therefore returns updated teacher_vars which the engine
+    threads back in. Remaining known nuance: torch folds the n/(n-1)
+    unbiased-variance correction into running_var updates while flax
+    accumulates the biased batch variance — negligible at spatial-batch n
+    (~1e-5 relative) and irrelevant to the gradients (train-mode BN never
+    reads running stats).
     """
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
@@ -307,18 +314,23 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
         else:
             inputs = ((batch['depth'],) if args.depth_only
                       else (batch['color'],))
-        (teach_cam, teach_last), _ = _apply(
+        (teach_cam, teach_last), new_teach_stats = _apply(
             teacher, teacher_vars['params'], teacher_vars['batch_stats'],
-            inputs, False if args.do_freeze else False, dtype)
-        # teacher always runs without stat updates; eval-mode normalization
-        # approximates the reference's train-mode BN under no_grad, with
-        # -do_freeze it is exact
-        return jax.lax.stop_gradient(teach_cam), jax.lax.stop_gradient(
-            teach_last)
+            inputs, bn_train, dtype)
+        teacher_vars = dict(params=teacher_vars['params'],
+                            batch_stats=new_teach_stats)
+        return (jax.lax.stop_gradient(teach_cam),
+                jax.lax.stop_gradient(teach_last),
+                jax.lax.stop_gradient(teacher_vars))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, teacher_vars, batch, lr, alpha, semi_batch=None):
-        teach_cam, teach_last = teacher_forward(teacher_vars, batch)
+        teach_cam, teach_last, teacher_vars = teacher_forward(teacher_vars,
+                                                              batch)
+
+        if with_semi:
+            _, s_teach_last, teacher_vars = teacher_forward(teacher_vars,
+                                                            semi_batch)
 
         def loss_fn(params):
             (cam_feat, last_feat), new_stats = _apply(
@@ -336,8 +348,6 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
             loss = d_loss * alpha + c_loss
             s_loss = jnp.zeros(())
             if with_semi:
-                s_teach_cam, s_teach_last = teacher_forward(teacher_vars,
-                                                            semi_batch)
                 (s_cam, s_last), new_stats2 = _apply(
                     model, params, new_stats, (semi_batch['color'],),
                     bn_train, dtype)
@@ -351,8 +361,8 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
         (_, (new_stats, c_loss, d_loss, s_loss)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
         state = _update(tx, state, grads, lr).replace(batch_stats=new_stats)
-        return state, {'cam_loss': c_loss, 'dist_loss': d_loss,
-                       'semi_loss': s_loss}
+        return state, teacher_vars, {'cam_loss': c_loss, 'dist_loss': d_loss,
+                                     'semi_loss': s_loss}
 
     return step
 

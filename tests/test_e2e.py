@@ -113,3 +113,29 @@ def test_main_imagenet_pretrain_with_extra_channel(cmu_fixture, tmp_path):
     out = run_cli('main.py', flags)
     assert 'key [ fc.weight ] deleted' in out
     _spec_line(out)
+
+
+def test_depth_main_distill(ntu_fixture, tmp_path):
+    """The -do_teach path (depth_train.py:161-283): train a vanilla depth
+    teacher for one epoch, then distill it into a fresh student through the
+    CLI with attention-weighted feature distillation. The teacher runs
+    train-mode BN (batch statistics) per the reference's no_grad semantics."""
+    save = str(tmp_path / 'save')
+    teacher_flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                            '-metadata_path', ntu_fixture, '-save_path', save,
+                            '-shuffle', '-save_record']
+    run_cli('depth_main.py', teacher_flags)
+    teacher_ckpt = os.path.join(save, 'resnet18-e2e', 'model_1.pth')
+    assert os.path.exists(teacher_ckpt)
+
+    student_save = str(tmp_path / 'student')
+    flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                    '-metadata_path', ntu_fixture, '-save_path', student_save,
+                    '-shuffle', '-save_record', '-do_teach', '-attention',
+                    '-teacher_path', teacher_ckpt,
+                    '-alpha_init', '0.5', '-alpha_dest', '0.1']
+    out = run_cli('depth_main.py', flags)
+    _spec_line(out)
+    assert 'Dist Loss' in out
+    assert os.path.exists(os.path.join(student_save, 'resnet18-e2e',
+                                       'model_1.pth'))

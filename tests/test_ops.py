@@ -365,3 +365,83 @@ class TestDistortedWarp:
         # cv2's fixed-point interpolation quantization bounds the diff
         assert np.abs(ours - golden).max() < 0.05
         assert np.abs(ours - golden).mean() < 0.005
+
+
+class TestFusedBatchNorm:
+    """The Pallas fused training-BN (ops/fused_bn.py) against jnp/autodiff
+    reference math (the flax nn.BatchNorm semantics: biased batch variance,
+    f32 statistics), for every call-site flavor in the trunk: plain,
+    +relu, +residual, +residual+relu, f32 and bf16."""
+
+    def _ref(self, x, gamma, beta, res, relu):
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32).reshape(-1, c)
+        mean = jnp.mean(xf, axis=0)
+        var = jnp.mean(xf * xf, axis=0) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = (y * gamma + beta).reshape(x.shape)
+        if res is not None:
+            y = y + res.astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(x.dtype), mean, var
+
+    @pytest.mark.parametrize('relu', [False, True])
+    @pytest.mark.parametrize('has_res', [False, True])
+    @pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+    def test_fwd_bwd_vs_autodiff(self, relu, has_res, dtype):
+        from pose_tpu.ops.fused_bn import fused_batch_norm
+
+        rng = np.random.RandomState(0)
+        shape = (3, 9, 9, 128)
+        c = shape[-1]
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32), dtype)
+        res = (jnp.asarray(rng.randn(*shape).astype(np.float32), dtype)
+               if has_res else None)
+        gamma = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(c).astype(np.float32))
+        dy = jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+        y_r, m_r, v_r = self._ref(x, gamma, beta, res, relu)
+        y_o, m_o, v_o = jax.jit(
+            lambda *a: fused_batch_norm(*a, 1e-5, relu))(x, gamma, beta, res)
+        atol = 3e-2 if dtype == jnp.bfloat16 else 3e-5
+        np.testing.assert_allclose(np.float32(y_o), np.float32(y_r),
+                                   atol=atol)
+        np.testing.assert_allclose(m_o, m_r, atol=1e-4)
+        np.testing.assert_allclose(v_o, v_r, atol=1e-4, rtol=1e-4)
+
+        def loss_ref(t):
+            y, _, _ = self._ref(t[0], t[1], t[2], t[3], relu)
+            return jnp.sum(y.astype(jnp.float32) * dy)
+
+        def loss_ours(t):
+            y, _, _ = fused_batch_norm(t[0], t[1], t[2], t[3], 1e-5, relu)
+            return jnp.sum(y.astype(jnp.float32) * dy)
+
+        g_r = jax.grad(loss_ref)((x, gamma, beta, res))
+        g_o = jax.jit(jax.grad(loss_ours))((x, gamma, beta, res))
+        names = ('dx', 'dgamma', 'dbeta', 'dres')
+        gatol = 4e-1 if dtype == jnp.bfloat16 else 2e-3
+        for a, b, nm in zip(g_r, g_o, names):
+            if a is None:
+                continue
+            np.testing.assert_allclose(
+                np.float32(b), np.float32(a), atol=gatol, rtol=3e-2,
+                err_msg=f'relu={relu} res={has_res} {nm}')
+
+    def test_partial_last_block_masked(self):
+        """M=3*5*5=75 rows is not sublane-divisible: the stats masking must
+        keep padded rows out of mean/var."""
+        from pose_tpu.ops.fused_bn import fused_batch_norm
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(3, 5, 5, 256).astype(np.float32))
+        gamma = jnp.ones((256,), jnp.float32)
+        beta = jnp.zeros((256,), jnp.float32)
+        _, mean, var = jax.jit(
+            lambda *a: fused_batch_norm(*a, 1e-5, False))(x, gamma, beta,
+                                                          None)
+        flat = np.asarray(x).reshape(-1, 256)
+        np.testing.assert_allclose(mean, flat.mean(0), atol=1e-5)
+        np.testing.assert_allclose(var, flat.var(0), atol=1e-5, rtol=1e-5)

@@ -231,3 +231,92 @@ class TestLoaderFixture:
         second = next(iter(loader2))
         np.testing.assert_allclose(np.asarray(first['image']),
                                    np.asarray(second['image']))
+
+
+class TestDistillTeacherBN:
+    """Teacher BN semantics in distillation (depth_train.py:156-158): without
+    -do_freeze the torch teacher stays in train mode under no_grad, so it
+    normalizes with *batch* statistics and its running stats drift; with
+    -do_freeze both networks run eval-mode BN and nothing drifts."""
+
+    def _setup(self, do_freeze):
+        from pose_tpu.models.resnet import PoseResNet
+
+        args = make_args(depth=2, num_joints=3, depth_range=100.0, stride=32,
+                         do_freeze=do_freeze)
+        model = PoseResNet(block='basic', layers=(1, 1, 1, 1), variant='depth',
+                           in_channels=3, stride=32, num_joints=3, depth=2)
+        teacher = model
+        tx = steps.make_optimizer(args)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        state = steps.init_state(model, args, tx, (x,), rng)
+        t_vars_raw = teacher.init(jax.random.PRNGKey(1), x, train=False)
+        teacher_vars = dict(params=t_vars_raw['params'],
+                            batch_stats=t_vars_raw['batch_stats'])
+
+        key = jax.random.PRNGKey(2)
+        batch = dict(
+            color=jax.random.normal(key, (2, 32, 32, 3)),
+            true_cam=jnp.zeros((2, 3, 3)),
+            true_val=jnp.ones((2, 3)),
+            atten_map=jnp.ones((2, 1, 1, 1)))
+        step = steps.make_distill_train_step(
+            model, teacher, args, key_index=0, tx=tx,
+            teacher_is_fusion=False, with_semi=False)
+        return args, model, teacher, state, teacher_vars, batch, step
+
+    def _manual_dist_loss(self, args, model, teacher, state, teacher_vars,
+                          batch, train_mode):
+        t_out = teacher.apply(
+            {'params': teacher_vars['params'],
+             'batch_stats': teacher_vars['batch_stats']},
+            batch['color'], train=train_mode,
+            mutable=['batch_stats'] if train_mode else False)
+        (_, teach_last) = t_out[0] if train_mode else t_out
+        s_out, _ = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch['color'], train=not args.do_freeze,
+            mutable=['batch_stats'])
+        (_, last_feat) = s_out
+        if args.do_freeze:
+            (_, last_feat) = model.apply(
+                {'params': state.params, 'batch_stats': state.batch_stats},
+                batch['color'], train=False)
+        return float(steps.distill_loss(args, teach_last, last_feat,
+                                        batch['atten_map']))
+
+    def test_teacher_uses_batch_stats_and_drifts(self):
+        (args, model, teacher, state, teacher_vars, batch,
+         step) = self._setup(do_freeze=False)
+        want = self._manual_dist_loss(args, model, teacher, state,
+                                      teacher_vars, batch, train_mode=True)
+        not_want = self._manual_dist_loss(args, model, teacher, state,
+                                          teacher_vars, batch,
+                                          train_mode=False)
+        old_stats = jax.tree_util.tree_map(np.asarray,
+                                           teacher_vars['batch_stats'])
+        _, new_teacher_vars, out = step(state, teacher_vars, batch,
+                                        jnp.float32(1e-4), jnp.float32(0.5))
+        got = float(out['dist_loss'])
+        assert got == pytest.approx(want, rel=1e-4)
+        assert got != pytest.approx(not_want, rel=1e-4)
+        # running stats drifted with momentum 0.9 toward the batch stats
+        drift = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+            new_teacher_vars['batch_stats'], old_stats)
+        assert max(jax.tree_util.tree_leaves(drift)) > 1e-4
+
+    def test_do_freeze_keeps_teacher_eval_and_static(self):
+        (args, model, teacher, state, teacher_vars, batch,
+         step) = self._setup(do_freeze=True)
+        want = self._manual_dist_loss(args, model, teacher, state,
+                                      teacher_vars, batch, train_mode=False)
+        old_stats = jax.tree_util.tree_map(np.asarray,
+                                           teacher_vars['batch_stats'])
+        _, new_teacher_vars, out = step(state, teacher_vars, batch,
+                                        jnp.float32(1e-4), jnp.float32(0.5))
+        assert float(out['dist_loss']) == pytest.approx(want, rel=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            new_teacher_vars['batch_stats'], old_stats)
