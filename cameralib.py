@@ -15,10 +15,19 @@ from pose_tpu.geometry.camera import (Camera, get_affine, get_homography,
                                       allclose_or_nones)
 
 
-def reproject_image(image, old_camera, new_camera, output_imshape, **kwargs):
+def reproject_image(image, old_camera, new_camera, output_imshape,
+                    antialias=False, **kwargs):
     """Host-side single-image warp for the offline tools (cameralib.py:378).
     The training path never calls this — it uses the batched on-device
-    kernels in pose_tpu.ops.warp."""
+    kernels in pose_tpu.ops.warp.
+
+    Interpolation parity note: the reference's affine branch requests
+    cv2.INTER_AREA on downscale (cameralib.py:403), but cv2.warpAffine does
+    not implement INTER_AREA and silently resamples bilinearly (verified:
+    warpAffine AREA==LINEAR bit-exact at non-integer minification), so our
+    bilinear warp matches the reference's *actual* behavior. antialias=True
+    replicates the reference's explicit pre-downscale path
+    (cameralib.py:676-689) with an exact area average."""
     import numpy as np
     import jax.numpy as jnp
     from pose_tpu.ops import warp
@@ -41,6 +50,15 @@ def reproject_image(image, old_camera, new_camera, output_imshape, **kwargs):
             jnp.asarray(dist), tuple(output_imshape)))
     else:
         hom = _gh(old_camera, new_camera).astype(np.float32)
+        if antialias:
+            factor = warp.antialias_factor(hom, tuple(output_imshape))
+            if factor < 1:
+                scaled = (int(np.round(factor * img.shape[0])),
+                          int(np.round(factor * img.shape[1])))
+                img = np.asarray(warp.area_downscale(jnp.asarray(img),
+                                                     scaled))
+                hom = hom.copy()
+                hom[:2] *= factor
         out = np.asarray(warp.warp_single(jnp.asarray(img), jnp.asarray(hom),
                                           tuple(output_imshape)))
     if orig_dtype == np.uint8:
@@ -49,8 +67,12 @@ def reproject_image(image, old_camera, new_camera, output_imshape, **kwargs):
 
 
 def reproject_image_fast(image, old_camera, new_camera, output_imshape,
-                         *args, **kwargs):
-    return reproject_image(image, old_camera, new_camera, output_imshape)
+                         border_mode=None, border_value=None, antialias=False,
+                         dst=None):
+    """Reference signature (cameralib.py:667-668); border args are the cv2
+    defaults (constant zero) in every reference call."""
+    return reproject_image(image, old_camera, new_camera, output_imshape,
+                           antialias=antialias)
 
 
 from pose_tpu.geometry.camera import (is_all_visible_in_new_camera,  # noqa: E402,F401

@@ -28,6 +28,7 @@ Layout is NHWC (TPU-native); feature maps feed pose_tpu.ops.heatmap which
 accounts for the channel factorization (depth, joints).
 """
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -35,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.fused_bn import FusedBatchNorm
 from ..ops.partial_conv import partial_conv
 
 # torch's He-init used by the trunks: normal(0, sqrt(2 / fan_out))
@@ -78,17 +80,32 @@ def max_pool_3x3s2(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
-def conv_bn(x, features, kernel, stride, dilation, conv_name, bn_name, train):
+def conv_bn(x, features, kernel, stride, dilation, conv_name, bn_name, train,
+            fused=False, relu=False, residual=None):
     """A conv+BN pair created directly in the caller's compact scope so param
-    paths stay flat (e.g. layer1/0/conv1) for torch-checkpoint conversion."""
+    paths stay flat (e.g. layer1/0/conv1) for torch-checkpoint conversion.
+
+    With fused=True (POSE_TPU_BN=pallas) the BN runs as the Pallas fused
+    kernel with relu/residual folded into the same pass; param/stat naming is
+    identical, so checkpoints are interchangeable between the two impls. The
+    default XLA path ignores relu/residual (callers apply them)."""
     pad = (kernel // 2) * dilation if kernel > 1 else 0
     x = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                 padding=((pad, pad), (pad, pad)),
                 kernel_dilation=(dilation, dilation), use_bias=False,
                 kernel_init=trunk_init, name=conv_name)(x)
+    if fused:
+        return FusedBatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, relu=relu, name=bn_name)(
+            x, residual)
     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, name=bn_name)(x)
     return x
+
+
+def bn_impl_default():
+    """'xla' (nn.BatchNorm) or 'pallas' (ops/fused_bn.py), from POSE_TPU_BN."""
+    return os.environ.get('POSE_TPU_BN', 'xla')
 
 
 class BasicBlock(nn.Module):
@@ -98,11 +115,23 @@ class BasicBlock(nn.Module):
     has_downsample: bool = False
     skip_relu: bool = False
     partial: bool = False
+    fused_bn: bool = False
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x, veil=None, train: bool = True):
+        if self.fused_bn and not self.partial:
+            res = x
+            if self.has_downsample:
+                res = conv_bn(x, self.planes * self.expansion, 1, self.stride,
+                              1, 'downsample_0', 'downsample_1', train,
+                              fused=True)
+            out = conv_bn(x, self.planes, 3, self.stride, self.dilation,
+                          'conv1', 'bn1', train, fused=True, relu=True)
+            return conv_bn(out, self.planes, 3, 1, 1, 'conv2', 'bn2', train,
+                           fused=True, relu=not self.skip_relu, residual=res)
+
         res = x
         if self.partial:
             k1 = self.param('conv1_kernel', trunk_init,
@@ -142,11 +171,26 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     skip_relu: bool = False
     partial: bool = False
+    fused_bn: bool = False
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x, veil=None, train: bool = True):
+        if self.fused_bn and not self.partial:
+            res = x
+            if self.has_downsample:
+                res = conv_bn(x, self.planes * self.expansion, 1, self.stride,
+                              1, 'downsample_0', 'downsample_1', train,
+                              fused=True)
+            out = conv_bn(x, self.planes, 1, 1, 1, 'conv1', 'bn1', train,
+                          fused=True, relu=True)
+            out = conv_bn(out, self.planes, 3, self.stride, self.dilation,
+                          'conv2', 'bn2', train, fused=True, relu=True)
+            return conv_bn(out, self.planes * 4, 1, 1, 1, 'conv3', 'bn3',
+                           train, fused=True, relu=not self.skip_relu,
+                           residual=res)
+
         res = x
         if self.partial:
             k1 = self.param('conv1_kernel', trunk_init,
@@ -200,6 +244,7 @@ class Stage(nn.Module):
     dilation: int = 1
     last_skip_relu: bool = False
     partial: bool = False
+    fused_bn: bool = False
     name_prefix: str = 'layer'
 
     @nn.compact
@@ -216,6 +261,7 @@ class Stage(nn.Module):
                 has_downsample=has_ds and first,
                 skip_relu=self.last_skip_relu and last,
                 partial=self.partial,
+                fused_bn=self.fused_bn,
                 name=str(i))
             if self.partial:
                 x, veil = block(x, veil, train=train)
@@ -238,6 +284,7 @@ class PoseResNet(nn.Module):
     joint_space: bool = False            # rgb variant: add mat_regressor
     skip_relu: bool = False              # depth/fusion family
     early_dist: bool = False             # tap stage-3 features instead of stage-4
+    bn_impl: str = ''                    # ''=POSE_TPU_BN env, 'xla'|'pallas'
 
     @nn.compact
     def __call__(self, x, y=None, train: bool = True):
@@ -247,11 +294,19 @@ class PoseResNet(nn.Module):
         fusion = self.variant in ('fusion', 'partial_fusion')
         partial_stem = self.variant == 'partial_depth'
         partial_depth_branch = self.variant == 'partial_fusion'
+        # partial-conv branches keep nn.BatchNorm (their BNs interleave with
+        # mask renormalization); everything else can run the fused kernels
+        fused = (self.bn_impl or bn_impl_default()) == 'pallas'
 
         def stem(inp, conv_name, bn_name):
             h = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False,
                         kernel_init=trunk_init, name=conv_name)(inp)
+            if fused:
+                h = FusedBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5, relu=True,
+                                   name=bn_name)(h)
+                return max_pool_3x3s2(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=bn_name)(h)
             return max_pool_3x3s2(nn.relu(h))
@@ -287,7 +342,8 @@ class PoseResNet(nn.Module):
                        skip_last=False, partial=False):
             return Stage(block_cls=block_cls, planes=planes, num_blocks=blocks,
                          inplanes=inplanes, stride=stride, dilation=dilation,
-                         last_skip_relu=skip_last, partial=partial, name=name)
+                         last_skip_relu=skip_last, partial=partial,
+                         fused_bn=fused and not partial, name=name)
 
         # partial variants have no skip_relu support (partial_depthnet.py,
         # partial_fusionnet.py define none)
@@ -320,9 +376,14 @@ class PoseResNet(nn.Module):
             cat = jnp.concatenate([h, g], axis=-1)
             f = nn.Conv(128 * expansion, (1, 1), use_bias=False,
                         kernel_init=trunk_init, name='fusion_conv')(cat)
-            f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name='fusion_bn')(f)
-            h = nn.relu(f)
+            if fused:
+                h = FusedBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5, relu=True,
+                                   name='fusion_bn')(f)
+            else:
+                f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name='fusion_bn')(f)
+                h = nn.relu(f)
 
         m = make_stage(256, self.layers[2], 128 * expansion, s3, d3, 'layer3',
                        skip_last=skip)(h, train=train)

@@ -1,13 +1,26 @@
 """Fused training-mode BatchNorm as Pallas TPU kernels.
 
-Training BN is a fusion barrier for XLA: the batch statistics force a
-full reduction pass over the conv output before the normalize pass, and the
-backward needs two more channel reductions (sum dy, sum dy*xhat) before dx.
-A frozen-BN ablation measured that cost at 7.8 ms of the 53.8 ms bs64 step
-(docs/ROUND1_NOTES.md). These kernels pin the pass count at the bandwidth
-minimum and additionally fold the block-tail elementwise ops (residual add +
-ReLU) into the same VMEM pass so switching BN out of XLA does not *add*
-elementwise traffic:
+MEASURED NEGATIVE RESULT (v5e, bs64 bf16, fwd+bwd per layer; kept opt-in via
+POSE_TPU_BN=pallas, default stays nn.BatchNorm):
+
+    shape                  XLA        these kernels
+    (64,129,129, 64)      4.66 ms       43.5 ms
+    (64, 65, 65, 64)      1.55 ms        3.8 ms
+    (64, 65, 65,256)      2.75 ms        5.3 ms
+
+XLA:TPU's decomposed-BN fusion already sits within ~2-3x of the HBM roofline
+and these streaming kernels lose to it on per-grid-step DMA overhead, so the
+7.8 ms/step batch-statistics tax measured by the frozen-BN ablation
+(docs/ROUND1_NOTES.md) is dominated by *irreducible* reduction traffic, not
+missing fusion. Revisit only with a conv-epilogue-level design.
+
+Background: training BN is a fusion barrier for XLA — the batch statistics
+force a full reduction pass over the conv output before the normalize pass,
+and the backward needs two more channel reductions (sum dy, sum dy*xhat)
+before dx. These kernels pin the pass count at the bandwidth minimum and
+additionally fold the block-tail elementwise ops (residual add + ReLU) into
+the same VMEM pass so switching BN out of XLA does not *add* elementwise
+traffic:
 
 - forward:  stats kernel (read x once -> per-channel sum/sumsq held resident
             in VMEM, written back once) + apply kernel (read x [+residual]
@@ -31,10 +44,10 @@ Numerics: all accumulation and normalization math is f32 regardless of the
 
 import functools
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret():
@@ -271,3 +284,52 @@ def _fbn_bwd(eps, relu, res, cots):
 
 
 fused_batch_norm.defvjp(_fbn_fwd, _fbn_bwd)
+
+
+# --------------------------------------------------------------- flax module
+
+
+class FusedBatchNorm(nn.Module):
+    """Drop-in nn.BatchNorm replacement running the fused kernels in train
+    mode, with the block-tail residual add and ReLU foldable into the same
+    pass. Param ('scale'/'bias') and batch_stats ('mean'/'var') naming and
+    init match nn.BatchNorm so checkpoint conversion (models/convert.py) and
+    torch parity are unchanged.
+
+    Eval mode is the plain affine map in jnp (XLA fuses it into neighbors,
+    which is already optimal); only training-mode statistics benefit from the
+    Pallas path.
+    """
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        c = x.shape[-1]
+        scale = self.param('scale', jax.nn.initializers.ones, (c,))
+        bias = self.param('bias', jax.nn.initializers.zeros, (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if self.use_running_average or self.is_initializing():
+            mul = scale.astype(jnp.float32) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon)
+            y = (x.astype(jnp.float32) - ra_mean.value) * mul \
+                + bias.astype(jnp.float32)
+            if residual is not None:
+                y = y + residual.astype(jnp.float32)
+            if self.relu:
+                y = jnp.maximum(y, 0.0)
+            return y.astype(x.dtype)
+
+        y, mean, var = fused_batch_norm(x, scale, bias, residual,
+                                        self.epsilon, self.relu)
+        ra_mean.value = self.momentum * ra_mean.value \
+            + (1.0 - self.momentum) * mean
+        ra_var.value = self.momentum * ra_var.value \
+            + (1.0 - self.momentum) * var
+        return y

@@ -248,14 +248,32 @@ def antialias_factor(homography, out_shape):
     return float(np.sqrt(y_factor * x_factor))
 
 
+def _area_weights(new_n, old_n):
+    """(new_n, old_n) row-stochastic matrix of exact pixel-interval overlaps:
+    out[i] = mean of src over [i*s, (i+1)*s), s = old_n/new_n — the true
+    area-average (cv2.INTER_AREA) for arbitrary downscale factors."""
+    scale = old_n / new_n
+    w = np.zeros((new_n, old_n), np.float32)
+    for i in range(new_n):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, old_n)):
+            w[i, j] = (min(j + 1.0, hi) - max(float(j), lo)) / scale
+    return w
+
+
 def area_downscale(image, factor_shape):
-    """Antialiased downscale to `factor_shape` = (new_h, new_w), standing in
-    for cv2.INTER_AREA (cameralib.py:687-688). Uses jax.image linear resize
-    with antialias (triangle filter), which closely tracks area averaging for
-    the ~0.5-1.0 factors this path sees."""
+    """Downscale to `factor_shape` = (new_h, new_w) by exact area averaging,
+    matching cv2.INTER_AREA (cameralib.py:687-688) for arbitrary factors: two
+    separable box-coverage matmuls (MXU-friendly, like the warp path)."""
     new_h, new_w = factor_shape
-    return jax.image.resize(image, (new_h, new_w, image.shape[-1]),
-                            method='linear', antialias=True)
+    h, w = image.shape[:2]
+    wh = jnp.asarray(_area_weights(new_h, h))
+    ww = jnp.asarray(_area_weights(new_w, w))
+    out = jnp.tensordot(wh, image, axes=((1,), (0,)),
+                        precision=jax.lax.Precision.HIGHEST)   # (new_h, w, c)
+    return jnp.einsum('hwc,Ww->hWc', out, ww,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def distorted_source_coords(coords_undist, old_intrinsics, dist_coeffs):

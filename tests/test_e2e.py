@@ -139,3 +139,39 @@ def test_depth_main_distill(ntu_fixture, tmp_path):
     assert 'Dist Loss' in out
     assert os.path.exists(os.path.join(student_save, 'resnet18-e2e',
                                        'model_1.pth'))
+
+
+def test_depth_main_distill_semi_teach(ntu_fixture, tmp_path):
+    """-semi_teach (depth_train.py:67-71, 222-231): the PKU unlabeled stream
+    is resolved by hijacking data_name in a copied namespace, and each update
+    folds an extra distillation-only batch. The teacher forwards main + semi
+    batches in order, drifting its train-mode BN stats through both."""
+    import json
+
+    from pose_tpu.data.synthetic import make_pku_fixture
+
+    pku_meta = make_pku_fixture(str(tmp_path / 'pku'), num_train=8,
+                                num_valid=4)
+    merged = json.load(open(ntu_fixture))
+    pku = json.load(open(pku_meta))
+    for key in ('root', 'loader', 'no_depth', 'thresholds'):
+        merged[key].update(pku[key])
+    meta = str(tmp_path / 'metadata.json')
+    json.dump(merged, open(meta, 'w'))
+
+    save = str(tmp_path / 'save')
+    teacher_flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                            '-metadata_path', meta, '-save_path', save,
+                            '-shuffle', '-save_record']
+    run_cli('depth_main.py', teacher_flags)
+    teacher_ckpt = os.path.join(save, 'resnet18-e2e', 'model_1.pth')
+
+    student_save = str(tmp_path / 'student')
+    flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                    '-metadata_path', meta, '-save_path', student_save,
+                    '-shuffle', '-save_record', '-do_teach', '-attention',
+                    '-teacher_path', teacher_ckpt, '-semi_teach',
+                    '-semi_batch', '4']
+    out = run_cli('depth_main.py', flags)
+    _spec_line(out)
+    assert 'Semi Loss' in out

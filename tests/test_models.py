@@ -279,3 +279,36 @@ class TestConverter:
                                    toy['layer2.0.conv1.weight'])
         np.testing.assert_allclose(out['conv2.weight'],
                                    toy['conv1.weight'][:, :1])
+
+
+def test_fused_bn_trunk_equivalence():
+    """POSE_TPU_BN=pallas (ops/fused_bn.py) must match the default
+    nn.BatchNorm trunk through a full train-mode forward, including the
+    running-stat updates, for the fused-path block flavors (relu folding,
+    residual folding, downsample, skip_relu, fusion block)."""
+    from pose_tpu.models.resnet import PoseResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 65, 65, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, 65, 65, 1).astype(np.float32))
+
+    for variant, blk, kw, inputs in [
+            ('rgb', 'bottleneck', dict(joint_space=True), (x,)),
+            ('depth', 'basic', dict(skip_relu=True), (x,)),
+            ('fusion', 'basic', {}, (x, y))]:
+        outs, stats = {}, {}
+        for impl in ('xla', 'pallas'):
+            m = PoseResNet(block=blk, layers=(1, 1, 1, 1), variant=variant,
+                           in_channels=3, stride=32, num_joints=5, depth=4,
+                           bn_impl=impl, **kw)
+            v = m.init(jax.random.PRNGKey(7), *inputs, train=False)
+            out, upd = m.apply(v, *inputs, train=True,
+                               mutable=['batch_stats'])
+            outs[impl] = jax.tree_util.tree_leaves(out)
+            stats[impl] = jax.tree_util.tree_leaves(upd)
+        for a, b in zip(outs['xla'], outs['pallas']):
+            d = np.abs(np.float32(a) - np.float32(b)).max()
+            assert d < 5e-4, (variant, 'out', d)
+        for a, b in zip(stats['xla'], stats['pallas']):
+            d = np.abs(np.float32(a) - np.float32(b)).max()
+            assert d < 5e-5, (variant, 'stats', d)

@@ -162,3 +162,54 @@ def test_partial_conv_shim_call_shape():
     out, mask_out = conv(x, mask)
     assert out.shape == (1, 8, 8, 4)
     assert mask_out.shape == (1, 8, 8, 1)
+
+
+def test_area_downscale_matches_cv2_inter_area():
+    """ops.warp.area_downscale is an exact area average; cv2.resize
+    INTER_AREA is its fixed-point implementation (cameralib.py:687-688)."""
+    import cv2
+    import jax.numpy as jnp
+    from pose_tpu.ops import warp
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(100, 120, 3).astype(np.float32)
+    for new_hw in [(37, 47), (50, 60), (73, 111)]:
+        ours = np.asarray(warp.area_downscale(jnp.asarray(img), new_hw))
+        golden = cv2.resize(img, (new_hw[1], new_hw[0]),
+                            interpolation=cv2.INTER_AREA)
+        assert np.abs(ours - golden).max() < 2e-3, new_hw
+
+
+def test_reproject_image_antialias_prescale():
+    """The antialias=True path (cameralib.py:676-689): pre-downscale by the
+    isotropic factor, scale the homography, then warp. Golden: the same
+    algorithm with cv2.resize INTER_AREA + cv2.warpPerspective."""
+    import cv2
+    import cameralib
+
+    cam = cameralib.Camera(
+        [0, 0, 0], np.eye(3),
+        np.array([[200., 0, 64], [0, 200., 48], [0, 0, 1]]), None)
+    new_cam = cam.copy()
+    new_cam.zoom(0.4)   # strong minification -> factor < 1
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 128, 3).astype(np.float32)
+    out = cameralib.reproject_image(img, cam, new_cam, (96, 128),
+                                    antialias=True)
+
+    from pose_tpu.geometry.camera import get_homography
+    from pose_tpu.ops.warp import antialias_factor
+    hom = get_homography(cam, new_cam).astype(np.float32)
+    factor = antialias_factor(hom, (96, 128))
+    assert factor < 1
+    scaled = (int(np.round(factor * 128)), int(np.round(factor * 96)))
+    small = cv2.resize(img, scaled, interpolation=cv2.INTER_AREA)
+    hom2 = hom.copy()
+    hom2[:2] *= factor
+    golden = cv2.warpPerspective(
+        small, hom2, (128, 96),
+        flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    # interior-pixel agreement (border rows differ by zero-pad handling)
+    assert np.abs(out[2:-2, 2:-2] - golden[2:-2, 2:-2]).max() < 0.02
