@@ -63,15 +63,15 @@ def process_color_batch_occluded(canvases, homographies, extents, key,
                                  sprites, alphas, shapes, side_in, do_colour,
                                  do_eraser):
     """process_color_batch with occluder pasting (-occluder, BASELINE
-    config 4) between the warp and the colour chain."""
+    config 4) between the warp and the colour chain. Pasting rides the MXU
+    (occluder.paste_batch_mxu): the gather composite costs ~325 ms/batch-64
+    on v5e vs ~1 ms for the banded-matmul paste."""
     images = canvases.astype(jnp.float32) / 255.0
     crops = warp.warp_batch_mxu(images, homographies, (side_in, side_in),
                                 extents)
     crops = jnp.clip(crops, 0.0, 1.0)
     okeys = jax.random.split(jax.random.fold_in(key, 2), crops.shape[0])
-    crops = jax.vmap(
-        lambda im, k: occluder.random_occlu(im, k, sprites, alphas, shapes)
-    )(crops, okeys)
+    crops = occluder.paste_batch_mxu(crops, okeys, sprites, alphas, shapes)
     if do_colour:
         keys = jax.random.split(key, crops.shape[0])
         crops = colour.random_color_batch(crops, keys)

@@ -109,6 +109,66 @@ def random_occlu(image, key, sprites, alphas, shapes):
     return image * (1 - a) + rgb * a
 
 
+def random_occlu_mxu(image, key, sprites, alphas, shapes):
+    """random_occlu with the resampling on the MXU: the paste is an affine
+    image->sprite map, so the RGBA sprite is warped onto the image grid with
+    the same two-pass banded-matmul machinery as the crop warp
+    (ops.warp._warp_single_mxu) and composited elementwise. Identical random
+    draws (same key splits) as random_occlu; the resampler differs by the
+    two-pass property only (~0.002 mean intensity). The gather path costs
+    ~325 ms/batch-64 on v5e (scalarized loads); this path rides the MXU.
+    """
+    from .warp import _warp_single_mxu
+
+    k_idx, k_scale, k_center = jax.random.split(key, 3)
+    n = sprites.shape[0]
+    idx = jax.random.randint(k_idx, (), 0, n)
+    sprite = sprites[idx]
+    alpha = alphas[idx]
+    shape = shapes[idx].astype(jnp.float32)
+
+    scale = jax.random.uniform(k_scale, (), minval=0.4, maxval=0.8)
+    dest_shape = jnp.round(scale * shape)
+    h, w = image.shape[:2]
+    center = (jnp.asarray([h, w], jnp.float32)
+              * jax.random.uniform(k_center, (2,)))
+    center = jnp.round(center)
+    start = center - dest_shape / 2
+    ratio = shape / jnp.maximum(dest_shape, 1.0)
+
+    # image (u, v) -> sprite (sx, sy) affine, in the warp kernel's dst->src
+    # homography convention
+    zero = jnp.zeros(())
+    one = jnp.ones(())
+    hom = jnp.stack([
+        jnp.stack([ratio[1], zero, -start[1] * ratio[1]]),
+        jnp.stack([zero, ratio[0], -start[0] * ratio[0]]),
+        jnp.stack([zero, zero, one])])
+
+    rgba = jnp.concatenate([sprite, alpha[..., None]], axis=-1)
+    warped = _warp_single_mxu(rgba, hom, (h, w), shapes[idx], jnp.bfloat16)
+    a = jnp.clip(warped[..., 3:], 0.0, 1.0)
+    return image * (1 - a) + warped[..., :3] * a
+
+
+def paste_batch_mxu(images, keys, sprites, alphas, shapes, chunk=8):
+    """Batched random_occlu_mxu, chunked like warp.warp_batch_mxu to bound
+    the transient HBM footprint of the per-sample weight matrices."""
+    b = images.shape[0]
+
+    def one_chunk(args):
+        imgs, ks = args
+        return jax.vmap(lambda im, k: random_occlu_mxu(
+            im, k, sprites, alphas, shapes))(imgs, ks)
+
+    if b % chunk != 0 or b == chunk:
+        return one_chunk((images, keys))
+    imgs = images.reshape((b // chunk, chunk) + images.shape[1:])
+    ks = keys.reshape((b // chunk, chunk) + keys.shape[1:])
+    out = jax.lax.map(one_chunk, (imgs, ks))
+    return out.reshape((b,) + out.shape[2:])
+
+
 def random_erase(image, key):
     """augment_occluder.random_erase (:84-105): fill a random rectangle
     (10-25% of area, aspect 0.4-2.5) with a random uint8 colour."""

@@ -445,3 +445,38 @@ class TestFusedBatchNorm:
         flat = np.asarray(x).reshape(-1, 256)
         np.testing.assert_allclose(mean, flat.mean(0), atol=1e-5)
         np.testing.assert_allclose(var, flat.var(0), atol=1e-5, rtol=1e-5)
+
+
+class TestOccluderMXUPaste:
+    def test_matches_gather_paste(self):
+        """random_occlu_mxu draws identically to random_occlu and its
+        two-pass resampling stays within the documented sub-pixel envelope
+        of the 2D-bilinear gather composite."""
+        rng = np.random.RandomState(5)
+        sprites = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+        alphas = jnp.asarray((rng.rand(4, 64, 64) > 0.4).astype(np.float32))
+        shapes = jnp.asarray(
+            np.array([[50, 40], [64, 64], [30, 60], [44, 20]], np.int32))
+        image = jnp.asarray(rng.rand(65, 65, 3).astype(np.float32))
+        for i in range(4):
+            key = jax.random.PRNGKey(i)
+            ref = occluder.random_occlu(image, key, sprites, alphas, shapes)
+            got = occluder.random_occlu_mxu(image, key, sprites, alphas,
+                                            shapes)
+            diff = np.abs(np.asarray(ref) - np.asarray(got))
+            assert diff.max() < 0.22, (i, diff.max())   # hard alpha edges
+            assert diff.mean() < 0.004, (i, diff.mean())
+
+    def test_paste_batch_chunking(self):
+        rng = np.random.RandomState(6)
+        sprites = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        alphas = jnp.asarray(np.ones((2, 32, 32), np.float32))
+        shapes = jnp.asarray(np.array([[32, 32], [20, 24]], np.int32))
+        images = jnp.asarray(rng.rand(16, 33, 33, 3).astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(0), 16)
+        whole = jax.vmap(lambda im, k: occluder.random_occlu_mxu(
+            im, k, sprites, alphas, shapes))(images, keys)
+        chunked = occluder.paste_batch_mxu(images, keys, sprites, alphas,
+                                           shapes, chunk=4)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                                   atol=1e-5)
