@@ -45,11 +45,17 @@ def _bwd_kernel(g_ref, mult_ref, draw_ref):
 
 
 def _block_call(kernel, n_in, n_out, rows, c, dtype, interpret):
-    tile = 512 if rows % 512 == 0 else rows
+    """Row-tiled elementwise pallas_call. The last block may be partial:
+    out-of-range rows read garbage and their stores are dropped, which is
+    safe here because both kernels are purely elementwise (no cross-row
+    reduction). A whole-array block at production shapes (129^2 rows x 64ch
+    f32 x 3 outputs = 16.08 MiB) exceeds the 16 MiB VMEM scope — seen as a
+    compile-time OOM at the partial stem with side_in 257."""
+    tile = max(8, min(rows, 512) // 8 * 8)
     spec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(rows // tile,),
+        grid=((rows + tile - 1) // tile,),
         in_specs=[spec] * n_in,
         out_specs=tuple([spec] * n_out) if n_out > 1 else spec,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, c), dtype)

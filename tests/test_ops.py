@@ -480,3 +480,28 @@ class TestOccluderMXUPaste:
                                            shapes, chunk=4)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
                                    atol=1e-5)
+
+
+def test_partial_renorm_production_shape_tiling():
+    """Regression: rows=129*129=16641 (stride-16 stem at side_in 257) is not
+    512-divisible; the old whole-array fallback block was 16.08 MiB and
+    VMEM-OOMed at compile time on TPU. The tiled kernel with a partial last
+    block must match the XLA renormalization exactly, fwd and bwd."""
+    from pose_tpu.ops.partial_conv import _renorm_pallas, renormalize_xla
+
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randn(1, 129, 129, 64).astype(np.float32))
+    mask_raw = jnp.asarray((rng.rand(1, 129, 129, 1) * 9).astype(np.float32))
+    mask_bc = jnp.broadcast_to(mask_raw, raw.shape)
+    out_p, mout_p = _renorm_pallas(raw, mask_bc, 49.0, True)
+    out_x, mout_x = renormalize_xla(raw, mask_raw, 49.0)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mout_p[..., :1]),
+                               np.asarray(mout_x), atol=1e-7)
+    g = jnp.asarray(rng.randn(1, 129, 129, 64).astype(np.float32))
+    f = lambda r: jnp.sum(_renorm_pallas(r, mask_bc, 49.0, True)[0] * g)
+    fx = lambda r: jnp.sum(renormalize_xla(r, mask_raw, 49.0)[0] * g)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(raw)),
+                               np.asarray(jax.grad(fx)(raw)),
+                               rtol=1e-6, atol=1e-6)
