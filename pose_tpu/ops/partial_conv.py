@@ -12,10 +12,16 @@ Re-implements the reference's PartialConv (partial_conv.py:6-58):
 
 The two convolutions run on the MXU via lax.conv_general_dilated (the mask
 conv is single-channel and cheap); the renormalization chain — which the
-reference executes as five separate CUDA elementwise kernels — is fused into a
-single Pallas VMEM pass with a hand-written VJP (the mask path carries no
-gradient, matching torch.no_grad() at partial_conv.py:35, so the backward is
-just g * multiplier).
+reference executes as five separate CUDA elementwise kernels — runs as plain
+jnp ops that XLA fuses into the surrounding convolution epilogues.
+
+MEASURED: an alternative single-pass Pallas VMEM renorm kernel with a
+hand-written VJP (kept below, use_pallas=True) HALVES config-4 throughput in
+the full partial_depthnet train step — 514 vs 1039 img/s at bs64/257²/v5e —
+because the opaque kernel boundary (plus the broadcast full-channel mask it
+needs) defeats XLA's elementwise fusion, the same lesson as the fused-BN
+experiment (ops/fused_bn.py). XLA is the default; the kernel remains as the
+documented experiment with interpret-mode tests.
 
 All reference call sites use bias-free convs (partial_depthnet.py:177,
 :21-37); the bias branch exists for API completeness and runs on the XLA path.
@@ -110,7 +116,7 @@ def renormalize_xla(raw, mask_raw, winsize, bias=None):
 
 
 def partial_conv(x, mask, kernel, stride, padding, dilation=1, bias=None,
-                 use_pallas=True):
+                 use_pallas=False):
     """Functional partial convolution.
 
     Args:
