@@ -100,3 +100,56 @@ def test_batch_padding_to_mesh(combined):
     assert batch['color'].shape[0] % 8 == 0
     padded = np.asarray(batch['true_val'])[batch['_true_size']:]
     assert not padded.any()          # padded rows carry no loss weight
+
+
+def test_distill_step_on_8_device_mesh(combined):
+    """Distillation over the mesh: batch sharded on 'data', student state and
+    teacher variables replicated; the step returns drifted (replicated)
+    teacher batch_stats (train-mode teacher BN, depth_train.py:156-158)."""
+    import jax.numpy as jnp
+
+    from depth_main import get_info
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_batch, shard_replicated
+    from pose_tpu.train import steps
+
+    info = get_info()
+    args = make_args(combined, 'ntu', do_teach=True, attention=True,
+                     do_freeze=False, sigmoid=False, bin_dist=False,
+                     alpha_init=0.5, alpha_dest=0.1, alpha_span=10)
+    mesh = make_mesh(8)
+
+    model = build_model(args, 'depth')
+    teacher = build_model(args, 'depth')
+    tx = steps.make_optimizer(args)
+    state = steps.init_state(model, args, tx, (jnp.ones((1, 65, 65, 3)),))
+    state = shard_replicated(mesh, state)
+    t_raw = teacher.init(jax.random.PRNGKey(3), jnp.ones((1, 65, 65, 3)),
+                         train=False)
+    teacher_vars = shard_replicated(
+        mesh, dict(params=t_raw['params'], batch_stats=t_raw['batch_stats']))
+    old_stats = jax.tree_util.tree_map(np.asarray,
+                                       teacher_vars['batch_stats'])
+
+    step = steps.make_distill_train_step(model, teacher, args,
+                                         info.key_index, tx,
+                                         teacher_is_fusion=False,
+                                         with_semi=False)
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, dict(
+        color=rng.rand(8, 65, 65, 3).astype(np.float32),
+        true_cam=rng.uniform(-300, 300, (8, 17, 3)).astype(np.float32),
+        true_val=np.ones((8, 17), bool),
+        atten_map=rng.rand(8, 3, 3, 1).astype(np.float32)))
+    state, teacher_vars, out = step(state, teacher_vars, batch,
+                                    jnp.float32(1e-4), jnp.float32(0.5))
+    assert np.isfinite(float(out['cam_loss']))
+    assert np.isfinite(float(out['dist_loss']))
+    drift = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+        teacher_vars['batch_stats'], old_stats)
+    assert max(jax.tree_util.tree_leaves(drift)) > 1e-5
+    # teacher stats and student params stay replicated on all 8 devices
+    for tree in (teacher_vars['batch_stats'], state.params):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        assert len(leaf.sharding.device_set) == 8
