@@ -14,28 +14,26 @@ from pose_tpu.data import PoseLoader
 from pose_tpu.train import JointInfo
 
 
+def names_to_indices(short_names, table):
+    """Joint-name relation table -> index array: joint i maps to the index of
+    table[name_i], or to itself when the table has no entry (the identity
+    default covers self-mirrored center joints and the skeleton root)."""
+    order = {name: i for i, name in enumerate(short_names)}
+    return np.array([order[table.get(name, name)] for name in short_names])
+
+
 def build_info(data_name):
-    """Index-array JointInfo from the name tables (depth_main.py:14-33
-    pattern, applied to any skeleton in joint_settings)."""
+    """JointInfo index arrays from the joint_settings name tables for any
+    skeleton (reference analogue: depth_main.py:14-33, h36m-only there)."""
     short_names = getattr(joint_settings, data_name + '_short_names')
-    parent = getattr(joint_settings, data_name + '_parent')
-    mirror = getattr(joint_settings, data_name + '_mirror')
     base_joint = getattr(joint_settings, data_name + '_base_joint')
-
-    mapper = dict(zip(short_names, range(len(short_names))))
-    map_mirror = [mapper[mirror[name]] for name in short_names
-                  if name in mirror]
-    map_parent = [mapper[parent[name]] for name in short_names
-                  if name in parent]
-
-    _mirror = np.arange(len(short_names))
-    _parent = np.arange(len(short_names))
-    _mirror[np.array([name in mirror for name in short_names])] = \
-        np.array(map_mirror)
-    _parent[np.array([name in parent for name in short_names])] = \
-        np.array(map_parent)
-
-    return JointInfo(short_names, _parent, _mirror, mapper[base_joint])
+    return JointInfo(
+        short_names,
+        names_to_indices(short_names,
+                         getattr(joint_settings, data_name + '_parent')),
+        names_to_indices(short_names,
+                         getattr(joint_settings, data_name + '_mirror')),
+        short_names.index(base_joint))
 
 
 def data_loader(args, phase, data_info, **kwargs):

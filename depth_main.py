@@ -17,27 +17,10 @@ from pose_tpu.train.depth_engine import load_metadata
 
 
 def get_info():
-    """JointInfo from the h36m tables (depth_main.py:14-33; the h36m layout
-    is reused for the NTU/PKU 17-joint subset)."""
-    short_names = joint_settings.h36m_short_names
-    parent = joint_settings.h36m_parent
-    mirror = joint_settings.h36m_mirror
-    base_joint = joint_settings.h36m_base_joint
-
-    mapper = dict(zip(short_names, range(len(short_names))))
-    map_mirror = [mapper[mirror[name]] for name in short_names
-                  if name in mirror]
-    map_parent = [mapper[parent[name]] for name in short_names
-                  if name in parent]
-
-    _mirror = np.arange(len(short_names))
-    _parent = np.arange(len(short_names))
-    _mirror[np.array([name in mirror for name in short_names])] = \
-        np.array(map_mirror)
-    _parent[np.array([name in parent for name in short_names])] = \
-        np.array(map_parent)
-
-    return JointInfo(short_names, _parent, _mirror, mapper[base_joint])
+    """JointInfo from the h36m tables (reference depth_main.py:14-33; the
+    h36m layout is reused for the NTU/PKU 17-joint subset)."""
+    from datasets import build_info
+    return build_info('h36m')
 
 
 def model_variant(args, for_teacher=False):

@@ -82,6 +82,10 @@ def build_parser():
     parser.add_argument('-depth', default=16, type=int, help='z-bins of the volumetric heatmap')
     parser.add_argument('-alpha_span', default=10, type=int, help='epochs over which alpha anneals')
     parser.add_argument('-occ_count', default=100, type=int, help='number of occluder sprites in occ_path')
+    parser.add_argument('-print_freq', default=1, type=int,
+                        help='print (and host-sync) train losses every N '
+                             'batches; 1 matches the reference console, 0 '
+                             'disables per-batch prints entirely')
 
     # train options
     parser.add_argument('-warmup_factor', default=0.2, type=float, help='LR multiplier during warmup')

@@ -48,6 +48,13 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
     else:
         crops = warp.warp_batch(images, homographies, (side_in, side_in),
                                 extents)
+    return _finish_color(crops, key, do_colour, do_eraser)
+
+
+def _finish_color(crops, key, do_colour, do_eraser):
+    """Post-warp photometric chain shared by every colour pipeline variant:
+    random_color -> random_erase -> ImageNet normalize (datasets.py:129-131,
+    61-63)."""
     if do_colour:
         keys = jax.random.split(key, crops.shape[0])
         crops = colour.random_color_batch(crops, keys)
@@ -55,6 +62,47 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
         ekeys = jax.random.split(jax.random.fold_in(key, 1), crops.shape[0])
         crops = jax.vmap(occluder.random_erase)(crops, ekeys)
     return colour.normalize_imagenet(crops)
+
+
+def process_color_batch_general(canvases, partials, old_intrinsics,
+                                dist_coeffs, extents, key, side_in,
+                                do_colour, do_eraser, occ_bank=None):
+    """Colour pipeline for batches whose *source* cameras may be distorted
+    (the reference's general remap path, cameralib.py:408-433): each output
+    pixel's lookup goes partial_homography -> forward distortion -> source
+    intrinsics (ops.warp.warp_single_distorted). Undistorted samples mix into
+    the same batch with partial=homography, intrinsics=I, coeffs=0 — with
+    zero coefficients the general lookup degenerates to the plain homography
+    warp exactly."""
+    crops = _warp_general(canvases, partials, old_intrinsics, dist_coeffs,
+                          extents, side_in)
+    if occ_bank is not None:
+        sprites, alphas, shapes = occ_bank
+        crops = _paste_occluders(crops, jax.random.fold_in(key, 2), sprites,
+                                 alphas, shapes)
+    return _finish_color_jit(crops, key, do_colour, do_eraser)
+
+
+@functools.partial(jax.jit, static_argnames=('side_in',))
+def _warp_general(canvases, partials, old_intrinsics, dist_coeffs, extents,
+                  side_in):
+    images = canvases.astype(jnp.float32) / 255.0
+    crops = jax.vmap(
+        lambda im, ph, k, d, ex: warp.warp_single_distorted(
+            im, ph, k, d, (side_in, side_in), ex))(
+        images, partials, old_intrinsics, dist_coeffs, extents)
+    return jnp.clip(crops, 0.0, 1.0)
+
+
+@jax.jit
+def _paste_occluders(crops, key, sprites, alphas, shapes):
+    okeys = jax.random.split(key, crops.shape[0])
+    return occluder.paste_batch_mxu(crops, okeys, sprites, alphas, shapes)
+
+
+@functools.partial(jax.jit, static_argnames=('do_colour', 'do_eraser'))
+def _finish_color_jit(crops, key, do_colour, do_eraser):
+    return _finish_color(crops, key, do_colour, do_eraser)
 
 
 @functools.partial(jax.jit, static_argnames=('side_in', 'do_colour',
@@ -72,13 +120,7 @@ def process_color_batch_occluded(canvases, homographies, extents, key,
     crops = jnp.clip(crops, 0.0, 1.0)
     okeys = jax.random.split(jax.random.fold_in(key, 2), crops.shape[0])
     crops = occluder.paste_batch_mxu(crops, okeys, sprites, alphas, shapes)
-    if do_colour:
-        keys = jax.random.split(key, crops.shape[0])
-        crops = colour.random_color_batch(crops, keys)
-    if do_eraser:
-        ekeys = jax.random.split(jax.random.fold_in(key, 1), crops.shape[0])
-        crops = jax.vmap(occluder.random_erase)(crops, ekeys)
-    return colour.normalize_imagenet(crops)
+    return _finish_color(crops, key, do_colour, do_eraser)
 
 
 def enhance_depth(image, nexponent, thresh):

@@ -119,3 +119,18 @@ def scale_homography(homography, prescale):
     out = np.array(homography, np.float32)
     out[:2] *= prescale
     return out
+
+
+def scale_lookup(sample, prescale):
+    """Fold a source prescale into a parsed sample's warp lookup, whichever
+    form it carries: the plain `homography`, or the distorted-source triple
+    (there the final pixel coords come from `old_intrinsics`, so the scale
+    lands on its first two rows)."""
+    if prescale == 1.0:
+        return
+    if 'homography' in sample:
+        sample['homography'] = scale_homography(sample['homography'],
+                                                prescale)
+    else:
+        sample['old_intrinsics'] = scale_homography(sample['old_intrinsics'],
+                                                    prescale)

@@ -100,8 +100,13 @@ class PoseLoader:
         self.canvas = canvas or (512, 512)
         # POSE_TPU_WARP=mxu|gather|pallas_banded selects the train-time
         # resampler (pallas_banded falls back to mxu per batch when
-        # pallas_band_ok rejects the homographies)
+        # pallas_band_ok rejects the homographies).
+        # POSE_TPU_EVAL_WARP selects the eval-time resampler: 'gather'
+        # (default) is strictly cv2-parity; 'mxu' trades a ~0.002 mean
+        # intensity deviation (ops/warp.py:125-148) for the fast two-pass
+        # matmul path when val_only throughput matters (VERDICT item 8).
         self.warp_impl = os.environ.get('POSE_TPU_WARP', 'mxu')
+        self.eval_warp_impl = os.environ.get('POSE_TPU_EVAL_WARP', 'gather')
 
         # native C++ decode pool (threaded libjpeg, native/pose_loader.cc);
         # falls back to PIL per-sample decode when unavailable
@@ -139,19 +144,16 @@ class PoseLoader:
         new_cam, matrices = crop.build_crop(cam, sample['bbox'], self.side_in,
                                             do_flip, random_zoom,
                                             self.geometry)
-        if 'homography' not in matrices:
-            raise NotImplementedError(
-                'distorted source cameras go through warp_single_distorted; '
-                'the sample stores produced by the offline tools are '
-                'undistorted (data_groups.py:36-70)')
 
         camera_coords, valid, back_rotate = crop.transform_gt(
             cam, new_cam, sample['skeleton'], sample['valid'],
             self.data_info.mirror, do_flip, self.at_test)
 
-        out = dict(homography=matrices['homography'],
-                   true_cam=camera_coords,
-                   true_val=valid.astype(bool))
+        # undistorted sources carry a single homography (the MXU fast path);
+        # distorted sources carry the general-lookup triple
+        # (cameralib.py:408-433 analogue, ops/warp.py:warp_single_distorted)
+        out = dict(true_cam=camera_coords, true_val=valid.astype(bool))
+        out.update(matrices)
         if self.extra_channel:
             bx, by, bw, bh = np.asarray(sample['bbox'], np.float32)
             corners = np.array([[bx, by], [bx + bw, by],
@@ -168,8 +170,7 @@ class PoseLoader:
             canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
             out['canvas'] = canvas
             out['extent'] = extent
-            out['homography'] = crop.scale_homography(out['homography'],
-                                                      prescale)
+            crop.scale_lookup(out, prescale)
         else:
             out['image_path'] = sample['image']
         if self.joint_space:
@@ -189,8 +190,24 @@ class PoseLoader:
         return order
 
     def _collate(self, parsed):
+        self._unify_lookup(parsed)
         keys = parsed[0].keys()
         return {k: np.stack([p[k] for p in parsed]) for k in keys}
+
+    @staticmethod
+    def _unify_lookup(parsed):
+        """If any sample in the batch has a distorted source camera, convert
+        the whole batch to the general-lookup triple so one program serves
+        it: with identity intrinsics and zero coefficients the general warp
+        reduces exactly to the homography warp, so undistorted samples are
+        unchanged by the conversion."""
+        if not any('partial_homography' in p for p in parsed):
+            return
+        for p in parsed:
+            if 'homography' in p:
+                p['partial_homography'] = p.pop('homography')
+                p['old_intrinsics'] = np.eye(3, dtype=np.float32)
+                p['dist_coeffs'] = np.zeros(5, np.float32)
 
     def _decode_batch(self, idxs):
         """Per-batch host work. JPEG sample stores go through the native C++
@@ -207,8 +224,7 @@ class PoseLoader:
         paths = [p.pop('image_path') for p in parsed]
         canvases, extents, prescales = self._native.decode_batch(paths)
         for p, prescale in zip(parsed, prescales):
-            p['homography'] = crop.scale_homography(p['homography'],
-                                                    float(prescale))
+            crop.scale_lookup(p, float(prescale))
         batch = self._collate(parsed)
         batch['canvas'] = canvases
         batch['extent'] = extents
@@ -236,29 +252,44 @@ class PoseLoader:
             if k in batch:
                 host_extras[k] = batch.pop(k)[:true_n]
 
-        device = shard_batch(self.mesh, {
-            'canvas': batch.pop('canvas'),
-            'homography': batch.pop('homography'),
-            'extent': batch.pop('extent')})
-        if self._occ_bank is not None:
-            sprites, alphas, shapes = self._occ_bank
-            image = augment.process_color_batch_occluded(
-                device['canvas'], device['homography'], device['extent'], key,
-                sprites, alphas, shapes, self.side_in, self.colour,
-                self.eraser)
+        if 'partial_homography' in batch:
+            # distorted-source batch: general per-pixel lookup
+            device = shard_batch(self.mesh, {
+                'canvas': batch.pop('canvas'),
+                'partial': batch.pop('partial_homography'),
+                'old_k': batch.pop('old_intrinsics'),
+                'dist': batch.pop('dist_coeffs'),
+                'extent': batch.pop('extent')})
+            image = augment.process_color_batch_general(
+                device['canvas'], device['partial'], device['old_k'],
+                device['dist'], device['extent'], key, self.side_in,
+                self.colour, self.eraser,
+                occ_bank=self._occ_bank)
         else:
-            # train uses the configured resampler (default: MXU two-pass);
-            # eval keeps the gather path for strict cv2 parity
-            impl = 'gather' if self.at_test else self.warp_impl
-            if impl == 'pallas_banded':
-                from ..ops.warp_pallas import pallas_band_ok
-                if not pallas_band_ok(np.asarray(device['homography']),
-                                      self.canvas,
-                                      (self.side_in, self.side_in)):
-                    impl = 'mxu'
-            image = augment.process_color_batch(
-                device['canvas'], device['homography'], device['extent'], key,
-                self.side_in, self.colour, self.eraser, warp_impl=impl)
+            device = shard_batch(self.mesh, {
+                'canvas': batch.pop('canvas'),
+                'homography': batch.pop('homography'),
+                'extent': batch.pop('extent')})
+            if self._occ_bank is not None:
+                sprites, alphas, shapes = self._occ_bank
+                image = augment.process_color_batch_occluded(
+                    device['canvas'], device['homography'], device['extent'],
+                    key, sprites, alphas, shapes, self.side_in, self.colour,
+                    self.eraser)
+            else:
+                # train uses the configured resampler (default: MXU two-pass);
+                # eval defaults to the gather path for strict cv2 parity
+                impl = self.eval_warp_impl if self.at_test else self.warp_impl
+                if impl == 'pallas_banded':
+                    from ..ops.warp_pallas import pallas_band_ok
+                    if not pallas_band_ok(np.asarray(device['homography']),
+                                          self.canvas,
+                                          (self.side_in, self.side_in)):
+                        impl = 'mxu'
+                image = augment.process_color_batch(
+                    device['canvas'], device['homography'], device['extent'],
+                    key, self.side_in, self.colour, self.eraser,
+                    warp_impl=impl)
 
         if 'bbox_quad' in batch:
             quads = shard_batch(self.mesh, batch.pop('bbox_quad'))
@@ -346,8 +377,7 @@ class DepthPoseLoader(PoseLoader):
         canvases, extents, prescales = self._native.decode_batch(color_paths)
         dcanvases, dextents, _ = self._dnative.decode_batch(depth_paths)
         for p, prescale in zip(parsed, prescales):
-            p['homography'] = crop.scale_homography(p['homography'],
-                                                    float(prescale))
+            crop.scale_lookup(p, float(prescale))
         batch = self._collate(parsed)
         batch['canvas'] = canvases
         batch['extent'] = extents
@@ -388,16 +418,21 @@ class DepthPoseLoader(PoseLoader):
         new_dcam, dmatrices = crop.build_crop(depth_cam, sample['depth_bbox'],
                                               self.side_in, do_flip,
                                               random_zoom, self.geometry)
+        if 'homography' not in dmatrices:
+            raise ValueError(
+                'depth cameras are intrinsics-only in every reference store '
+                '(get_depth_cams.py builds pinhole intrinsics); a distorted '
+                'depth camera has no batched warp path')
 
         camera_coords, valid, back_rotate = crop.transform_gt(
             cam, new_cam, sample['skeleton'], sample['valid'],
             self.data_info.mirror, do_flip, self.at_test)
 
-        out = dict(homography=matrices['homography'],
-                   depth_homography=dmatrices['homography'],
+        out = dict(depth_homography=dmatrices['homography'],
                    depth_k_inv=np.linalg.inv(
                        depth_cam.intrinsic_matrix).astype(np.float32),
                    true_cam=camera_coords, true_val=valid.astype(bool))
+        out.update(matrices)
         if decode:
             image = imread(sample['image'])
             if image.dtype != np.uint8:
@@ -405,8 +440,7 @@ class DepthPoseLoader(PoseLoader):
             canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
             out['canvas'] = canvas
             out['extent'] = extent
-            out['homography'] = crop.scale_homography(out['homography'],
-                                                      prescale)
+            crop.scale_lookup(out, prescale)
 
             depth_image = imread(depth_path)
             if depth_image.ndim == 3:
@@ -438,22 +472,35 @@ class DepthPoseLoader(PoseLoader):
             if k in batch:
                 host_extras[k] = batch.pop(k)[:true_n]
 
-        color_dev = shard_batch(self.mesh, {
-            'canvas': batch.pop('canvas'),
-            'homography': batch.pop('homography'),
-            'extent': batch.pop('extent')})
-        if self._occ_bank is not None:
-            sprites, alphas, shapes = self._occ_bank
-            color = augment.process_color_batch_occluded(
-                color_dev['canvas'], color_dev['homography'],
-                color_dev['extent'], key, sprites, alphas, shapes,
-                self.side_in, self.colour, self.eraser)
+        if 'partial_homography' in batch:
+            color_dev = shard_batch(self.mesh, {
+                'canvas': batch.pop('canvas'),
+                'partial': batch.pop('partial_homography'),
+                'old_k': batch.pop('old_intrinsics'),
+                'dist': batch.pop('dist_coeffs'),
+                'extent': batch.pop('extent')})
+            color = augment.process_color_batch_general(
+                color_dev['canvas'], color_dev['partial'],
+                color_dev['old_k'], color_dev['dist'], color_dev['extent'],
+                key, self.side_in, self.colour, self.eraser,
+                occ_bank=self._occ_bank)
         else:
-            color = augment.process_color_batch(
-                color_dev['canvas'], color_dev['homography'],
-                color_dev['extent'], key, self.side_in, self.colour,
-                self.eraser, warp_impl='mxu' if not self.at_test
-                else 'gather')
+            color_dev = shard_batch(self.mesh, {
+                'canvas': batch.pop('canvas'),
+                'homography': batch.pop('homography'),
+                'extent': batch.pop('extent')})
+            if self._occ_bank is not None:
+                sprites, alphas, shapes = self._occ_bank
+                color = augment.process_color_batch_occluded(
+                    color_dev['canvas'], color_dev['homography'],
+                    color_dev['extent'], key, sprites, alphas, shapes,
+                    self.side_in, self.colour, self.eraser)
+            else:
+                color = augment.process_color_batch(
+                    color_dev['canvas'], color_dev['homography'],
+                    color_dev['extent'], key, self.side_in, self.colour,
+                    self.eraser, warp_impl=self.eval_warp_impl
+                    if self.at_test else self.warp_impl)
 
         depth_dev = shard_batch(self.mesh, {
             'canvas': batch.pop('depth_canvas'),
@@ -465,7 +512,8 @@ class DepthPoseLoader(PoseLoader):
         depth = augment.process_depth_batch(
             depth_dev['canvas'], depth_dev['homography'], depth_dev['extent'],
             depth_dev['k_inv'], shard_batch(self.mesh, thresh), self.side_in,
-            self.nexponent, self.apply_to_depth, mxu_warp=not self.at_test)
+            self.nexponent, self.apply_to_depth,
+            mxu_warp=(not self.at_test) or self.eval_warp_impl == 'mxu')
 
         if 'atten_map' in batch:
             # reference layout (B, 1, S, S) -> NHWC (B, S, S, 1) to broadcast

@@ -18,13 +18,19 @@ from ..geometry.camera import Camera
 from . import samples as sample_lib
 
 
-def _synth_camera(rng, imshape=(270, 360)):
+def _synth_camera(rng, imshape=(270, 360), distorted=False):
     f = rng.uniform(250, 320)
     K = np.array([[f, 0, imshape[1] / 2],
                   [0, f * rng.uniform(0.97, 1.03), imshape[0] / 2],
                   [0, 0, 1]], np.float32)
+    dist = None
+    if distorted:
+        # mild barrel distortion + small tangential terms, OpenCV order
+        dist = np.array([rng.uniform(-0.25, -0.1), rng.uniform(0.0, 0.05),
+                         rng.uniform(-1e-3, 1e-3), rng.uniform(-1e-3, 1e-3),
+                         0.0], np.float32)
     return Camera(rng.uniform(-100, 100, 3).astype(np.float32), np.eye(3), K,
-                  None, world_up=(0, -1, 0))
+                  dist, world_up=(0, -1, 0))
 
 
 def _synth_skeleton(rng, num_joints, depth=3500.0):
@@ -47,9 +53,13 @@ def _render(cam, skeleton, imshape, rng):
 
 
 def make_cmu_fixture(root, num_train=24, num_valid=8, num_joints=19, seed=0,
-                     imshape=(270, 360)):
+                     imshape=(270, 360), distorted=False):
     """CMU-style store: samples.pkl with image/camera/bbox/skeleton/valid
-    (+sequence), split.json, metadata.json pointing at `root`."""
+    (+sequence), split.json, metadata.json pointing at `root`.
+
+    distorted=True stores cameras with OpenCV distortion coefficients — the
+    raw-HD-camera case the runtime loader must route through the general warp
+    (the offline tools' stores are undistorted, data_groups.py:36-70)."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, 'images'), exist_ok=True)
 
@@ -59,7 +69,7 @@ def make_cmu_fixture(root, num_train=24, num_valid=8, num_joints=19, seed=0,
     counts = {'train': num_train, 'valid': num_valid, 'test': num_valid}
     for phase, count in counts.items():
         for i in range(count):
-            cam = _synth_camera(rng, imshape)
+            cam = _synth_camera(rng, imshape, distorted=distorted)
             skel_cam = _synth_skeleton(rng, num_joints)
             skel_world = cam.camera_to_world(skel_cam)
             img, pix = _render(cam, skel_cam, imshape, rng)

@@ -167,6 +167,11 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     w_h = h[2, 0] * u_of + h[2, 1] * v + h[2, 2]
     Y = (h[1, 0] * u_of + h[1, 1] * v + h[1, 2]) / w_h
     Y = jnp.where(jnp.isfinite(Y), Y, -1e9)
+    # materialize the (out_h, src_w) inverse row map: without the barrier XLA
+    # fuses this division chain into the W1 producer and re-evaluates it per
+    # (v, sy, xs) element of the weight tensor inside the dot — ~4 divides
+    # per MAC, which made weight generation the VPU bottleneck of the warp
+    Y = jax.lax.optimization_barrier(Y)
 
     sy = jax.lax.broadcasted_iota(jnp.float32, (src_h, 1), 0)
     # W1[v, sy, xs]
@@ -178,18 +183,23 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     W1 = W1.astype(weight_dtype)
 
     src = image.astype(weight_dtype)
-    # I[v, xs, c] = sum_sy W1[v, sy, xs] * src[sy, xs, c]
+    # I[xs, c, v] = sum_sy src[sy, xs, c] * W1[v, sy, xs]
+    # operand order puts the tiny channel count (c=1..4) on the LHS free
+    # (sublane) axis and W1's out_h on the lane axis, and lets pass 2 consume
+    # the (xs, c, v) intermediate with no transpose between the passes.
+    # (XLA assigns dot layouts itself, so this is mostly about avoiding the
+    # explicit transposes, not raw MXU rate.)
     inter = jax.lax.dot_general(
-        W1, src,
-        dimension_numbers=(((1,), (0,)), ((2,), (1,))),
-        preferred_element_type=jnp.float32)            # (xs, v, c)
-    inter = inter.transpose(1, 0, 2)                   # (v, xs, c)
+        src, W1,
+        dimension_numbers=(((0,), (1,)), ((1,), (2,))),
+        preferred_element_type=jnp.float32)            # (xs, c, v)
 
     uu = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     vv = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
     w_x = h[2, 0] * uu + h[2, 1] * vv + h[2, 2]
     X = (h[0, 0] * uu + h[0, 1] * vv + h[0, 2]) / w_x   # (v, u)
     X = jnp.where(jnp.isfinite(X), X, -1e9)
+    X = jax.lax.optimization_barrier(X)                 # see Y above
 
     sx = jax.lax.broadcasted_iota(jnp.float32, (src_w, 1), 0)
     # W2[v, sx, u]: hat weights of source column sx for output column u in row v
@@ -197,12 +207,14 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     W2 = W2 * (sx[None, :, :] <= ew - 1)
     W2 = W2.astype(weight_dtype)
 
-    # Out[v, u, c] = sum_sx W2[v, sx, u] * I[v, sx, c]
+    # Out[v, c, u] = sum_sx I[sx, c, v] * W2[v, sx, u] — channels again on M,
+    # out_w on N; no intermediate transpose is needed because pass 1 already
+    # produced (xs, c, v)
     out = jax.lax.dot_general(
-        W2, inter.astype(weight_dtype),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (v, u, c)
-    return out
+        inter.astype(weight_dtype), W2,
+        dimension_numbers=(((0,), (1,)), ((2,), (0,))),
+        preferred_element_type=jnp.float32)            # (v, c, u)
+    return out.transpose(0, 2, 1)                      # (v, u, c)
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'chunk'))
@@ -217,10 +229,14 @@ def warp_batch_mxu(images, homographies, out_shape, extents=None, chunk=8):
     if extents is None:
         extents = jnp.tile(jnp.asarray(images.shape[1:3], jnp.int32), (b, 1))
 
+    # bf16 weight matrices ride the MXU on TPU; XLA:CPU cannot execute an
+    # unfused bf16 dot (tests run the same code on host), so f32 there
+    wdtype = jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
+
     def one_chunk(args):
         imgs, homs, exts = args
         return jax.vmap(lambda im, hg, ex: _warp_single_mxu(
-            im, hg, out_shape, ex, jnp.bfloat16))(imgs, homs, exts)
+            im, hg, out_shape, ex, wdtype))(imgs, homs, exts)
 
     if b % chunk != 0 or b == chunk:
         return one_chunk((images, homographies, extents))

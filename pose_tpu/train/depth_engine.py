@@ -17,7 +17,7 @@ import jax
 
 from .. import metrics
 from . import schedules, steps
-from .engine import BaseTrainer, _to_host, back_rotate
+from .engine import BaseTrainer, LossMeter, _to_host, back_rotate
 
 
 def load_metadata(args):
@@ -100,7 +100,8 @@ class DepthTrainer(BaseTrainer):
             self._vanilla_step = steps.make_vanilla_train_step(
                 self.model, self.args, self.data_info.key_index, self.tx)
         n_batches = len(data_loader)
-        loss_avg, total = 0.0, 0
+        freq = getattr(self.args, 'print_freq', 1)
+        meter = LossMeter(('cam_loss',))
         for i_batch, batch in enumerate(data_loader):
             in_image = (batch['depth'] if self.args.depth_only
                         else batch['color'])
@@ -110,12 +111,12 @@ class DepthTrainer(BaseTrainer):
             b = self._size(batch, 'color')
             self.state, out = self._vanilla_step(
                 self.state, self._shard(device_batch, device_batch.keys()), lr)
-            loss = float(out['cam_loss'])
-            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                  % (epoch, i_batch, n_batches, loss), flush=True)
-            loss_avg += loss * b
-            total += b
-        loss_avg /= max(total, 1)
+            meter.add(out, b)
+            if freq and i_batch % freq == 0:
+                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                      % (epoch, i_batch, n_batches, float(out['cam_loss'])),
+                      flush=True)
+        loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
 
@@ -124,7 +125,8 @@ class DepthTrainer(BaseTrainer):
             self._fusion_step = steps.make_fusion_train_step(
                 self.model, self.args, self.data_info.key_index, self.tx)
         n_batches = len(data_loader)
-        loss_avg, total = 0.0, 0
+        freq = getattr(self.args, 'print_freq', 1)
+        meter = LossMeter(('cam_loss',))
         for i_batch, batch in enumerate(data_loader):
             device_batch = dict(color=batch['color'], depth=batch['depth'],
                                 true_cam=batch['true_cam'],
@@ -132,12 +134,11 @@ class DepthTrainer(BaseTrainer):
             b = self._size(batch, 'color')
             self.state, out = self._fusion_step(
                 self.state, self._shard(device_batch, device_batch.keys()), lr)
-            loss = float(out['cam_loss'])
-            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                  % (epoch, i_batch, n_batches, loss))
-            loss_avg += loss * b
-            total += b
-        loss_avg /= max(total, 1)
+            meter.add(out, b)
+            if freq and i_batch % freq == 0:
+                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                      % (epoch, i_batch, n_batches, float(out['cam_loss'])))
+        loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
 
@@ -152,8 +153,9 @@ class DepthTrainer(BaseTrainer):
         print('\n=> alpha value: {:.2f}'.format(alpha))
 
         n_batches = len(data_loader)
-        cam_loss_sum = dist_loss_sum = 0.0
-        cam_loss_samples = dist_loss_samples = 0
+        freq = getattr(self.args, 'print_freq', 1)
+        cam_meter = LossMeter(('cam_loss',))
+        dist_meter = LossMeter(('dist_loss',))
         for i_batch, batch in enumerate(data_loader):
             full_batch = self._size(batch, 'color')
             device_batch = dict(color=batch['color'], depth=batch['depth'],
@@ -173,26 +175,23 @@ class DepthTrainer(BaseTrainer):
                     self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
                     lr, alpha)
 
-            cam_loss = float(out['cam_loss'])
-            dist_loss = float(out['dist_loss'])
-            cam_loss_sum += cam_loss * full_batch
-            cam_loss_samples += full_batch
-            dist_loss_sum += dist_loss * full_batch
-            dist_loss_samples += full_batch
-
-            message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
-                epoch, i_batch, n_batches)
-            message += ' Cam Loss {:.4f} '.format(cam_loss)
-            message += ' Dist Loss {:.4f} '.format(dist_loss)
+            cam_meter.add(out, full_batch)
+            dist_meter.add({'dist_loss': out['dist_loss']}, full_batch)
             if self.args.semi_teach:
-                semi_loss = float(out['semi_loss'])
-                dist_loss_sum += semi_loss * semi_batch
-                dist_loss_samples += semi_batch
-                message += ' Semi Loss {:.4f}'.format(semi_loss)
-            print(message)
+                dist_meter.add({'dist_loss': out['semi_loss']}, semi_batch)
 
-        cam_loss_sum /= max(cam_loss_samples, 1)
-        dist_loss_sum /= max(dist_loss_samples, 1)
+            if freq and i_batch % freq == 0:
+                message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
+                    epoch, i_batch, n_batches)
+                message += ' Cam Loss {:.4f} '.format(float(out['cam_loss']))
+                message += ' Dist Loss {:.4f} '.format(float(out['dist_loss']))
+                if self.args.semi_teach:
+                    message += ' Semi Loss {:.4f}'.format(
+                        float(out['semi_loss']))
+                print(message)
+
+        cam_loss_sum = cam_meter.mean('cam_loss')
+        dist_loss_sum = dist_meter.mean('dist_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f  Dist Loss: %1.4f\n\n'
               % (epoch, cam_loss_sum, dist_loss_sum))
         return dict(dist_train_loss=dist_loss_sum, cam_train_loss=cam_loss_sum)

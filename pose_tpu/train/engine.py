@@ -30,6 +30,30 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+class LossMeter:
+    """Batch-weighted loss averages accumulated *on device*: `add` enqueues a
+    tiny multiply-add without synchronizing, so the host only blocks on the
+    device when a console line is actually printed (-print_freq) and once at
+    epoch end. Per-step `float(loss)` fetches otherwise serialize host and
+    device (VERDICT round-2 item 9)."""
+
+    def __init__(self, keys):
+        self.sums = {k: None for k in keys}
+        self.total = 0
+
+    def add(self, out, weight):
+        for k in self.sums:
+            term = out[k] * weight
+            self.sums[k] = term if self.sums[k] is None else (
+                self.sums[k] + term)
+        self.total += weight
+
+    def mean(self, key):
+        if self.sums[key] is None:
+            return 0.0
+        return float(self.sums[key]) / max(self.total, 1)
+
+
 def back_rotate(back_rotation, cam):
     """spec/true rotation back to the original camera (train.py:269-270)."""
     return np.einsum('Bij,BCj->BCi', back_rotation, cam)
@@ -110,17 +134,17 @@ class RgbTrainer(BaseTrainer):
     def cam_train(self, epoch, data_loader, lr):
         step = self._get_cam_step()
         n_batches = len(data_loader)
-        loss_avg, total = 0.0, 0
+        freq = getattr(self.args, 'print_freq', 1)
+        meter = LossMeter(('cam_loss',))
         for i, batch in enumerate(data_loader):
             b = self._size(batch, 'image')
             device_batch = self._shard(batch, ('image', 'true_cam', 'true_val'))
             self.state, out = step(self.state, device_batch, lr)
-            loss = float(out['cam_loss'])
-            loss_avg += loss * b
-            total += b
-            print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                  % (epoch, i, n_batches, loss))
-        loss_avg /= max(total, 1)
+            meter.add(out, b)
+            if freq and i % freq == 0:
+                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                      % (epoch, i, n_batches, float(out['cam_loss'])))
+        loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
 
@@ -128,29 +152,25 @@ class RgbTrainer(BaseTrainer):
         do_track = self.args.do_track and (epoch != 1)
         step = self._get_joint_step(do_track)
         n_batches = len(data_loader)
-        cam_avg = mat_avg = recon_avg = 0.0
-        total = 0
+        freq = getattr(self.args, 'print_freq', 1)
+        meter = LossMeter(('cam_loss', 'mat_loss', 'recon_loss'))
         for i, batch in enumerate(data_loader):
             b = self._size(batch, 'image')
             device_batch = self._shard(
                 batch, ('image', 'true_cam', 'true_val', 'true_mat',
                         'intrinsics'))
             self.state, out = step(self.state, device_batch, lr)
-            cam, mat = float(out['cam_loss']), float(out['mat_loss'])
-            rec = float(out['recon_loss'])
-            cam_avg += cam * b
-            mat_avg += mat * b
-            recon_avg += rec * b
-            total += b
-            message = '| train Epoch[%d] [%d/%d]' % (epoch, i, n_batches)
-            message += '  Cam Loss: %1.4f' % cam
-            message += '  Mat Loss: %1.4f' % mat
-            if do_track:
-                message += '  Recon Loss: %1.4f' % rec
-            print(message)
-        cam_avg /= max(total, 1)
-        mat_avg /= max(total, 1)
-        recon_avg /= max(total, 1)
+            meter.add(out, b)
+            if freq and i % freq == 0:
+                message = '| train Epoch[%d] [%d/%d]' % (epoch, i, n_batches)
+                message += '  Cam Loss: %1.4f' % float(out['cam_loss'])
+                message += '  Mat Loss: %1.4f' % float(out['mat_loss'])
+                if do_track:
+                    message += '  Recon Loss: %1.4f' % float(out['recon_loss'])
+                print(message)
+        cam_avg = meter.mean('cam_loss')
+        mat_avg = meter.mean('mat_loss')
+        recon_avg = meter.mean('recon_loss')
         message = ('=> train Epoch[%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
                    % (epoch, cam_avg, mat_avg))
         if do_track:
