@@ -16,6 +16,7 @@ square_pixels -> fit the bbox far side to side_in -> center principal point
 import numpy as np
 
 from ..geometry import camera as cameralib
+from ..geometry import funcam
 
 
 def build_crop(cam, bbox, side_in, do_flip, random_zoom, geometry_aug):
@@ -67,6 +68,79 @@ def build_crop(cam, bbox, side_in, do_flip, random_zoom, geometry_aug):
                         old_intrinsics=cam.intrinsic_matrix.astype(np.float32),
                         dist_coeffs=dist)
     return new_cam, matrices
+
+
+def build_crop_batch(cams, bboxes, side_in, flips, zooms, geometry_aug):
+    """Vectorized crop-camera synthesis for a whole batch: one numpy call
+    chain over stacked funcam arrays instead of B copies of the per-sample
+    object sequence (the reference's per-sample hot loop, datasets.py:78-121;
+    host-scalability item of VERDICT round 2).
+
+    Args:
+        cams: funcam.CamArrays with leading dim B (dist: (B, 5) or None).
+        bboxes: (B, 4); flips: (B,) bool; zooms: (B,) float.
+    Returns:
+        (new_cams, matrices) where matrices has either a (B, 3, 3)
+        'homography' or the batched distorted-source triple.
+    """
+    bboxes = np.asarray(bboxes, np.float64)
+    b = bboxes.shape[0]
+    center = bboxes[:, :2] + bboxes[:, 2:] / 2
+
+    # endpoints of the *far* (longer) bbox side per sample
+    axis = (bboxes[:, 2] < bboxes[:, 3]).astype(np.int64)      # 1 -> vertical
+    half = bboxes[np.arange(b), 2 + axis] / 2
+    offsets = np.zeros((b, 2, 2))
+    offsets[np.arange(b), 0, axis] = -half
+    offsets[np.arange(b), 1, axis] = half
+    far_side = (center[:, None, :] + offsets).astype(np.float32)
+
+    target_world = funcam.image_to_world(cams, center[:, None].astype(
+        np.float32))[:, 0]
+    new = funcam.turned_towards(cams, target_world)
+    new = funcam.pixels_squared(funcam.undistorted(new))
+
+    far_px = funcam.world_to_image(new, funcam.image_to_world(cams, far_side))
+    far_dist = np.linalg.norm(far_px[:, 0] - far_px[:, 1], axis=-1)
+    new = funcam.zoomed(new, side_in / far_dist)
+    new = funcam.principal_centered(new, (side_in, side_in))
+    if geometry_aug:
+        new = funcam.zoomed(new, np.asarray(zooms, np.float32))
+
+    rot = np.array(new.rot, copy=True)
+    rot[np.asarray(flips, bool), 0, :] *= -1
+    new = new._replace(rot=rot)
+
+    if cams.dist is None:
+        old_matrix = np.einsum('bij,bjk->bik', cams.kmat, cams.rot)
+        new_matrix = np.einsum('bij,bjk->bik', new.kmat, new.rot)
+        matrices = dict(homography=(
+            old_matrix @ np.linalg.inv(new_matrix)).astype(np.float32))
+    else:
+        partial = (cams.rot @ np.linalg.inv(new.rot)
+                   @ np.linalg.inv(new.kmat)).astype(np.float32)
+        matrices = dict(partial_homography=partial,
+                        old_intrinsics=cams.kmat.astype(np.float32),
+                        dist_coeffs=cams.dist.astype(np.float32))
+    return new, matrices
+
+
+def transform_gt_batch(cams, new_cams, world_coords, valid, mirror, flips,
+                       at_test):
+    """Batched GT transform (see transform_gt): (B, J, 3) world skeletons ->
+    crop-camera coords with per-sample flip mirroring; (B, 3, 3)
+    back-rotations at test."""
+    camera_coords = funcam.to_camera_frame(
+        new_cams, np.asarray(world_coords, np.float32))
+    valid = np.array(valid, copy=True)
+    flips = np.asarray(flips, bool)
+    camera_coords[flips] = camera_coords[flips][:, mirror]
+    valid[flips] = valid[flips][:, mirror]
+    back_rotate = None
+    if at_test:
+        back_rotate = (cams.rot @ np.transpose(new_cams.rot, (0, 2, 1))
+                       ).astype(np.float32)
+    return camera_coords.astype(np.float32), valid, back_rotate
 
 
 def transform_gt(sample_camera, new_cam, world_coords, valid, mirror, do_flip,

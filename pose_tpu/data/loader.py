@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import camera as cameralib
+from ..geometry import funcam
 from ..parallel import make_mesh, shard_batch
 from . import augment, crop, samples as sample_lib
 
@@ -189,45 +190,100 @@ class PoseLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         return order
 
-    def _collate(self, parsed):
-        self._unify_lookup(parsed)
-        keys = parsed[0].keys()
-        return {k: np.stack([p[k] for p in parsed]) for k in keys}
+    def _draws(self, idxs):
+        """Per-sample flip/zoom draws, identical to parse_sample's RNG use."""
+        flips, zooms = [], []
+        for i in idxs:
+            rng = self._rng(int(i))
+            flips.append((not self.at_test) and bool(rng.rand() < 0.5))
+            zooms.append(rng.uniform(self.random_zoom,
+                                     self.random_zoom ** (-1)))
+        return np.asarray(flips, bool), np.asarray(zooms, np.float32)
+
+    def parse_batch(self, idxs):
+        """All non-pixel per-sample work for a batch, vectorized: one funcam
+        call chain builds every crop camera, homography and GT transform at
+        once (the reference runs this per sample inside DataLoader workers,
+        datasets.py:124-146). Returns (batch dict, image paths).
+
+        If any sample's source camera is distorted, the whole batch uses the
+        general-lookup triple (funcam.stack pads pinhole samples with zero
+        coefficients, under which the general warp equals the homography
+        warp exactly)."""
+        samples = [self.samples[int(i)] for i in idxs]
+        flips, zooms = self._draws(idxs)
+        cams = funcam.stack([s['camera'].arrays() for s in samples])
+        bboxes = np.stack([np.asarray(s['bbox'], np.float32)
+                           for s in samples])
+        new_cams, matrices = crop.build_crop_batch(
+            cams, bboxes, self.side_in, flips, zooms, self.geometry)
+
+        coords, valid, back = crop.transform_gt_batch(
+            cams, new_cams,
+            np.stack([s['skeleton'] for s in samples]),
+            np.stack([s['valid'] for s in samples]),
+            self.data_info.mirror, flips, self.at_test)
+
+        out = dict(true_cam=coords, true_val=valid.astype(bool))
+        out.update(matrices)
+        if self.extra_channel:
+            corners = np.stack([
+                bboxes[:, :2],
+                bboxes[:, :2] + bboxes[:, 2:] * [1, 0],
+                bboxes[:, :2] + bboxes[:, 2:],
+                bboxes[:, :2] + bboxes[:, 2:] * [0, 1]], axis=1)
+            out['bbox_quad'] = funcam.reproject_pixels(
+                corners.astype(np.float32), cams, new_cams)
+        if self.joint_space:
+            out['true_mat'] = funcam.project(new_cams, coords)
+            out['intrinsics'] = new_cams.kmat.astype(np.float32)
+        if back is not None:
+            out['back_rotation'] = back
+        return out, [s['image'] for s in samples]
 
     @staticmethod
-    def _unify_lookup(parsed):
-        """If any sample in the batch has a distorted source camera, convert
-        the whole batch to the general-lookup triple so one program serves
-        it: with identity intrinsics and zero coefficients the general warp
-        reduces exactly to the homography warp, so undistorted samples are
-        unchanged by the conversion."""
-        if not any('partial_homography' in p for p in parsed):
+    def _scale_lookup_batch(batch, prescales):
+        """Vectorized crop.scale_lookup over per-sample decode prescales."""
+        if not np.any(prescales != 1.0):
             return
-        for p in parsed:
-            if 'homography' in p:
-                p['partial_homography'] = p.pop('homography')
-                p['old_intrinsics'] = np.eye(3, dtype=np.float32)
-                p['dist_coeffs'] = np.zeros(5, np.float32)
+        key = 'homography' if 'homography' in batch else 'old_intrinsics'
+        batch[key] = np.array(batch[key], np.float32)
+        batch[key][:, :2] *= prescales[:, None, None]
+
+    def _decode_images(self, paths, canvas_hw, native_pool, grayscale=False):
+        """Decode a batch of images onto fixed canvases: the native C++ pool
+        for JPEG stores, PIL per sample otherwise."""
+        if native_pool is not None and all(
+                p.lower().endswith(('.jpg', '.jpeg')) for p in paths):
+            return native_pool.decode_batch(paths)
+        canvases, extents, prescales = [], [], []
+        for path in paths:
+            image = imread(path)
+            if grayscale:
+                if image.ndim == 3:
+                    image = image[..., 0]
+                image = image[..., None].astype(np.float32)
+            else:
+                if image.ndim == 2:
+                    image = image[..., None].repeat(3, axis=-1)
+                image = image[..., :3]
+                if image.dtype != np.uint8:
+                    image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            cv, ext, pre = crop.pad_to_canvas(image, canvas_hw)
+            canvases.append(cv)
+            extents.append(ext)
+            prescales.append(pre)
+        return (np.stack(canvases), np.stack(extents),
+                np.asarray(prescales, np.float32))
 
     def _decode_batch(self, idxs):
-        """Per-batch host work. JPEG sample stores go through the native C++
-        decode pool; anything else falls back to PIL per sample."""
-        use_native = (self._native is not None and all(
-            self.samples[i]['image'].lower().endswith(('.jpg', '.jpeg'))
-            for i in idxs))
-        if not use_native:
-            return self._collate([
-                self.parse_sample(self.samples[i], int(i)) for i in idxs])
-
-        parsed = [self.parse_sample(self.samples[i], int(i), decode=False)
-                  for i in idxs]
-        paths = [p.pop('image_path') for p in parsed]
-        canvases, extents, prescales = self._native.decode_batch(paths)
-        for p, prescale in zip(parsed, prescales):
-            crop.scale_lookup(p, float(prescale))
-        batch = self._collate(parsed)
+        """Per-batch host work: vectorized camera/GT math + image decode."""
+        batch, paths = self.parse_batch(idxs)
+        canvases, extents, prescales = self._decode_images(
+            paths, self.canvas, self._native)
         batch['canvas'] = canvases
-        batch['extent'] = extents
+        batch['extent'] = np.asarray(extents)
+        self._scale_lookup_batch(batch, np.asarray(prescales, np.float32))
         return batch
 
     def _pad_to_mesh(self, batch):
@@ -359,30 +415,74 @@ class DepthPoseLoader(PoseLoader):
         self.apply_to_depth = args.to_depth
         self.enhance_thresh = 0.1 if args.data_name == 'ntu' else 0.5
 
-    def _decode_batch(self, idxs):
-        """Native path: the C++ pools decode the colour JPEGs and the depth
-        PNGs; anything else falls back to per-sample PIL decode."""
-        use_native = (self._native is not None
-                      and self._dnative is not None and all(
-                          self.samples[i]['image'].lower().endswith(
-                              ('.jpg', '.jpeg')) for i in idxs))
-        if not use_native:
-            return self._collate([
-                self.parse_sample(self.samples[i], int(i)) for i in idxs])
+    def parse_batch(self, idxs):
+        """Vectorized depth-stack parse: the RGB and depth crop cameras share
+        one flip/zoom draw per sample (depth_datasets.py:203-208); both go
+        through build_crop_batch."""
+        samples = [self.samples[int(i)] for i in idxs]
+        flips, zooms = self._draws(idxs)
+        cams = funcam.stack([s['camera'].arrays() for s in samples])
+        depth_cams = [sample_lib.depth_cam_for(self.args.data_name,
+                                               self.depth_cams, s)
+                      for s in samples]
+        dcams = funcam.stack([c.arrays() for c in depth_cams])
 
-        parsed = [self.parse_sample(self.samples[i], int(i), decode=False)
-                  for i in idxs]
-        color_paths = [p.pop('image_path') for p in parsed]
-        depth_paths = [p.pop('depth_path') for p in parsed]
-        canvases, extents, prescales = self._native.decode_batch(color_paths)
-        dcanvases, dextents, _ = self._dnative.decode_batch(depth_paths)
-        for p, prescale in zip(parsed, prescales):
-            crop.scale_lookup(p, float(prescale))
-        batch = self._collate(parsed)
+        new_cams, matrices = crop.build_crop_batch(
+            cams, np.stack([np.asarray(s['bbox'], np.float32)
+                            for s in samples]),
+            self.side_in, flips, zooms, self.geometry)
+        new_dcams, dmatrices = crop.build_crop_batch(
+            dcams, np.stack([np.asarray(s['depth_bbox'], np.float32)
+                             for s in samples]),
+            self.side_in, flips, zooms, self.geometry)
+        if 'homography' not in dmatrices:
+            raise ValueError(
+                'depth cameras are intrinsics-only in every reference store '
+                '(get_depth_cams.py builds pinhole intrinsics); a distorted '
+                'depth camera has no batched warp path')
+
+        coords, valid, back = crop.transform_gt_batch(
+            cams, new_cams,
+            np.stack([s['skeleton'] for s in samples]),
+            np.stack([s['valid'] for s in samples]),
+            self.data_info.mirror, flips, self.at_test)
+
+        out = dict(depth_homography=dmatrices['homography'],
+                   depth_k_inv=np.linalg.inv(
+                       dcams.kmat.astype(np.float64)).astype(np.float32),
+                   true_cam=coords, true_val=valid.astype(bool))
+        out.update(matrices)
+        if back is not None:
+            out['back_rotation'] = back
+        elif self.do_teach:
+            image_coords = funcam.project(new_cams, coords)
+            out['atten_map'] = np.stack([
+                attention_map(self.side_in, self.stride, image_coords[i],
+                              self.attention) for i in range(len(samples))])
+        paths = [s['image'] for s in samples]
+        depth_paths = [sample_lib.depth_image_path(self.args.data_name,
+                                                   self.root, s)
+                       for s in samples]
+        return out, paths, depth_paths
+
+    def _decode_batch(self, idxs):
+        """Per-batch host work: vectorized camera math; the C++ pools decode
+        the colour JPEGs and the depth PNGs (PIL fallback per sample)."""
+        batch, paths, depth_paths = self.parse_batch(idxs)
+        canvases, extents, prescales = self._decode_images(
+            paths, self.canvas, self._native)
+        dcanvases, dextents, dprescales = self._decode_images(
+            depth_paths, self.depth_canvas, self._dnative, grayscale=True)
         batch['canvas'] = canvases
-        batch['extent'] = extents
+        batch['extent'] = np.asarray(extents)
+        self._scale_lookup_batch(batch, np.asarray(prescales, np.float32))
         batch['depth_canvas'] = dcanvases
-        batch['depth_extent'] = dextents
+        batch['depth_extent'] = np.asarray(dextents)
+        dprescales = np.asarray(dprescales, np.float32)
+        if np.any(dprescales != 1.0):
+            batch['depth_homography'] = np.array(batch['depth_homography'],
+                                                 np.float32)
+            batch['depth_homography'][:, :2] *= dprescales[:, None, None]
         return batch
 
     def viz(self, args, batch_file='./batch.npy'):
