@@ -1,8 +1,12 @@
-"""Benchmark: images/sec/chip for the headline config — on-device
-augmentation (homography warp + photometric chain) + ResNet-50 volumetric
-pose forward+backward+Adam at 257x257, stride 16, 19 joints, 16 depth bins
-(cmu_train.sh architecture). Batch 128 (throughput-optimal on v5e; the
-reference trained at 64 — our bs64 figure is 1011 img/s).
+"""Benchmark: images/sec/chip for the flagship config-1 training step —
+the full cmu_train.sh flag set (`-joint_space -do_track -extra_channel`,
+reference cmu_train.sh:5-24, losses train.py:55-142): on-device augmentation
+(homography warp + photometric chain + bbox-mask extra channel) + ResNet-50
+dual-head volumetric pose forward+backward+Adam at 257x257, stride 16,
+19 joints, 16 depth bins. Representative inputs: 512^2 uint8 canvases and
+~384->257 crop homographies with random placement/zoom/rotation/perspective,
+as the runtime loader produces them. Batch 128 (throughput-optimal on v5e;
+the reference trained at 64).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -12,6 +16,7 @@ point (fp16 ResNet-50 fwd+bwd at 257^2 on a V100-class card with the
 per-sample cv2 DataLoader in front): ~240 img/s. The north star is >=5x.
 """
 
+import functools
 import json
 import time
 import types
@@ -24,7 +29,27 @@ import jax.numpy as jnp
 REFERENCE_GPU_IPS = 240.0
 
 
-def build(args):
+def realistic_homs(rng, b, canvas, side_in):
+    """Crop homographies as the runtime loader produces them: the 257^2
+    output maps to a ~side_in*1.5-sized region of the canvas with random
+    placement, zoom in [0.9, 1/0.9], small rotation and perspective."""
+    homs = np.zeros((b, 3, 3), np.float32)
+    for i in range(b):
+        zoom = rng.uniform(0.9, 1.0 / 0.9)
+        s = 384.0 / side_in / zoom
+        th = rng.uniform(-0.05, 0.05)
+        c, sn = np.cos(th), np.sin(th)
+        span = s * side_in
+        tx = rng.uniform(0, max(canvas - span, 1))
+        ty = rng.uniform(0, max(canvas - span, 1))
+        homs[i] = [[s * c, -s * sn, tx],
+                   [s * sn, s * c, ty],
+                   [rng.uniform(-1, 1) * 2e-5, rng.uniform(-1, 1) * 2e-5,
+                    1.0]]
+    return homs
+
+
+def build(args, canvas=512):
     from pose_tpu.models import build_model
     from pose_tpu.train import steps
     from pose_tpu.data import augment
@@ -33,37 +58,51 @@ def build(args):
     tx = steps.make_optimizer(args)
     state = steps.init_state(
         model, args, tx,
-        (jnp.ones((1, args.side_in, args.side_in, 3)),))
-    train_step = steps.make_cam_train_step(model, args, 2, tx)
+        (jnp.ones((1, args.side_in, args.side_in, 4)),))
+    train_step = steps.make_joint_train_step(model, args, 2, tx,
+                                             do_track=True)
 
-    canvas = 384
-
-    @jax.jit
-    def full_step(state, canvases, homographies, extents, key, true_cam,
-                  true_val, lr):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def full_step(state, d, key, lr):
         image = augment.process_color_batch.__wrapped__(
-            canvases, homographies, extents, key, args.side_in, True, False)
-        return train_step(state, dict(image=image, true_cam=true_cam,
-                                      true_val=true_val), lr)
+            d['canvases'], d['homs'], d['extents'], key, args.side_in,
+            True, False)
+        mask = augment.bbox_mask_channel(d['quads'], args.side_in)
+        image = jnp.concatenate([image, mask], axis=-1)
+        batch = dict(image=image, true_cam=d['true_cam'],
+                     true_mat=d['true_mat'], intrinsics=d['intr'],
+                     true_val=d['true_val'])
+        return train_step(state, batch, lr)
 
     rng = np.random.RandomState(0)
     b = args.batch_size
-    canvases = jnp.asarray(
-        rng.randint(0, 255, (b, canvas, canvas, 3), dtype=np.uint8))
-    homs = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
-    homs[:, 0, 0] = canvas / args.side_in
-    homs[:, 1, 1] = canvas / args.side_in
-    homs += rng.uniform(-1e-3, 1e-3, homs.shape).astype(np.float32)
-    extents = jnp.asarray(np.tile([canvas, canvas], (b, 1)).astype(np.int32))
-    true_cam = jnp.asarray(
-        rng.uniform(-400, 400, (b, args.num_joints, 3)).astype(np.float32))
-    true_val = jnp.ones((b, args.num_joints), jnp.bool_)
+    d = dict(
+        canvases=jnp.asarray(
+            rng.randint(0, 255, (b, canvas, canvas, 3), dtype=np.uint8)),
+        homs=jnp.asarray(realistic_homs(rng, b, canvas, args.side_in)),
+        extents=jnp.asarray(
+            np.tile([canvas, canvas], (b, 1)).astype(np.int32)),
+        true_cam=jnp.asarray(np.concatenate([
+            rng.uniform(-400, 400, (b, args.num_joints, 2)),
+            rng.uniform(2600, 3400, (b, args.num_joints, 1))],
+            -1).astype(np.float32)),
+        true_mat=jnp.asarray(
+            rng.uniform(20, 230, (b, args.num_joints, 2)).astype(np.float32)),
+        intr=jnp.asarray(np.tile(np.array(
+            [[1400., 0., 128.], [0., 1400., 128.], [0., 0., 1.]], np.float32),
+            (b, 1, 1))),
+        true_val=jnp.ones((b, args.num_joints), jnp.bool_),
+        quads=jnp.asarray(np.stack([
+            np.stack([rng.uniform(10, 60, b), rng.uniform(10, 60, b)], -1),
+            np.stack([rng.uniform(200, 250, b), rng.uniform(10, 60, b)], -1),
+            np.stack([rng.uniform(200, 250, b),
+                      rng.uniform(200, 250, b)], -1),
+            np.stack([rng.uniform(10, 60, b), rng.uniform(200, 250, b)], -1),
+        ], axis=1).astype(np.float32)))
     key = jax.random.PRNGKey(0)
 
     def run_once(state, i):
-        return full_step(state, canvases, homs, extents,
-                         jax.random.fold_in(key, i), true_cam, true_val,
-                         1e-4)
+        return full_step(state, d, jax.random.fold_in(key, i), 1e-4)
 
     return state, run_once
 
@@ -71,7 +110,7 @@ def build(args):
 def main():
     args = types.SimpleNamespace(
         model='resnet50', criterion='SmoothL1', half_acc=True,
-        extra_channel=False, joint_space=False, skip_relu=False,
+        extra_channel=True, joint_space=True, skip_relu=False,
         early_dist=False, depth_only=False,
         side_in=257, stride=16, num_joints=19, depth=16, batch_size=128,
         depth_range=1000.0, grad_norm=5.0, weight_decay=4e-5, loss_div=10.0)
@@ -93,7 +132,9 @@ def main():
 
     ips = args.batch_size * n_steps / dt
     print(json.dumps({
-        'metric': 'images/sec/chip (aug+fwd-bwd), ResNet-50 pose 257^2 bs128',
+        'metric': ('images/sec/chip (aug+fwd-bwd), ResNet-50 pose 257^2 '
+                   'bs128, full cmu_train.sh config '
+                   '(joint_space+do_track+extra_channel, 512^2 canvases)'),
         'value': round(ips, 2),
         'unit': 'images/sec',
         'vs_baseline': round(ips / REFERENCE_GPU_IPS, 3),

@@ -30,13 +30,20 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
     float32 inputs.
 
     warp_impl: 'mxu' (default train path), 'gather' (strict cv2 parity, used
-    at evaluation), or 'pallas_banded' (fused VMEM kernel; callers must gate
-    with warp_pallas.pallas_band_ok). The legacy mxu_warp bool maps to
-    'mxu'/'gather' when warp_impl is None."""
+    at evaluation), 'pallas_banded' (fused VMEM kernel; callers must gate
+    with warp_pallas.pallas_band_ok), 'split' / 'split_mxu' (two-stage
+    prescale+residual warp; callers must gate with warp.split_band_ok —
+    'split_mxu' runs stage B on the matmul path for hosts without Pallas).
+    The legacy mxu_warp bool maps to 'mxu'/'gather' when warp_impl is None."""
     if warp_impl is None:
         warp_impl = 'mxu' if mxu_warp else 'gather'
     images = canvases.astype(jnp.float32) / 255.0
-    if warp_impl == 'pallas_banded':
+    if warp_impl in ('split', 'split_mxu'):
+        crops = warp.warp_batch_split(
+            images, homographies, (side_in, side_in), extents,
+            stage_b='pallas' if warp_impl == 'split' else 'mxu')
+        crops = jnp.clip(crops, 0.0, 1.0)
+    elif warp_impl == 'pallas_banded':
         from ..ops.warp_pallas import warp_batch_pallas_banded
         crops = warp_batch_pallas_banded(images, homographies, extents,
                                          (side_in, side_in))

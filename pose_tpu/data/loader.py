@@ -342,6 +342,11 @@ class PoseLoader:
                                           self.canvas,
                                           (self.side_in, self.side_in)):
                         impl = 'mxu'
+                elif impl in ('split', 'split_mxu'):
+                    from ..ops.warp import split_band_ok
+                    if not split_band_ok(np.asarray(device['homography']),
+                                         (self.side_in, self.side_in)):
+                        impl = 'mxu'
                 image = augment.process_color_batch(
                     device['canvas'], device['homography'], device['extent'],
                     key, self.side_in, self.colour, self.eraser,

@@ -146,7 +146,11 @@ def random_occlu_mxu(image, key, sprites, alphas, shapes):
         jnp.stack([zero, zero, one])])
 
     rgba = jnp.concatenate([sprite, alpha[..., None]], axis=-1)
-    warped = _warp_single_mxu(rgba, hom, (h, w), shapes[idx], jnp.bfloat16)
+    # bf16 weights ride the MXU on TPU; XLA:CPU cannot execute an unfused
+    # bf16 dot (same backend split as warp.warp_batch_mxu)
+    wdtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+              else jnp.float32)
+    warped = _warp_single_mxu(rgba, hom, (h, w), shapes[idx], wdtype)
     a = jnp.clip(warped[..., 3:], 0.0, 1.0)
     return image * (1 - a) + warped[..., :3] * a
 

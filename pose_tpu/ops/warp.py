@@ -248,6 +248,133 @@ def warp_batch_mxu(images, homographies, out_shape, extents=None, chunk=8):
     return out.reshape((b,) + out.shape[2:])
 
 
+def decompose_homography(homographies, out_shape, m, xp=jnp):
+    """Split each out->src homography H into H = A o R with A axis-aligned.
+
+    A maps the intermediate grid [0, m)^2 onto the axis-aligned bounding box
+    of H([0, out)^2) in source coordinates (plus a 1px bilinear margin), so
+    the residual R = A^-1 H maps the output onto [0, m)^2 with unit-ish
+    scale regardless of the crop's zoom — only the crop's rotation /
+    perspective remains in R.
+
+    Returns (R (..., 3, 3), scale (..., 2, 2)) where scale rows are
+    (step, start) for y and x: src = start + p * step.
+
+    Works with xp=jnp (device, vmappable) or xp=np (host gating).
+    """
+    h = homographies
+    out_h, out_w = out_shape
+    corners = xp.asarray(
+        [[0.0, 0.0, 1.0], [out_w - 1.0, 0.0, 1.0],
+         [0.0, out_h - 1.0, 1.0], [out_w - 1.0, out_h - 1.0, 1.0]],
+        dtype=xp.float32)
+    p = xp.einsum('...ij,cj->...ci', h, corners)
+    xy = p[..., :2] / p[..., 2:3]
+    lo = xp.min(xy, axis=-2) - 1.0                     # (..., 2) x, y
+    hi = xp.max(xy, axis=-2) + 1.0
+    step = (hi - lo) / (m - 1.0)                       # (..., 2)
+    # A = [[sx, 0, x0], [0, sy, y0], [0, 0, 1]];  A^-1 H:
+    zeros = xp.zeros_like(step[..., 0])
+    ones = xp.ones_like(step[..., 0])
+    ainv = xp.stack([
+        xp.stack([1.0 / step[..., 0], zeros, -lo[..., 0] / step[..., 0]], -1),
+        xp.stack([zeros, 1.0 / step[..., 1], -lo[..., 1] / step[..., 1]], -1),
+        xp.stack([zeros, zeros, ones], -1)], -2)
+    residual = xp.einsum('...ij,...jk->...ik', ainv, h)
+    scale = xp.stack([
+        xp.stack([step[..., 1], lo[..., 1]], -1),      # y: (step, start)
+        xp.stack([step[..., 0], lo[..., 0]], -1)], -2) # x
+    return residual, scale
+
+
+def _scale_resample_single(image, scale, extent, m, weight_dtype):
+    """Axis-aligned bilinear resample src -> (m, m) intermediate as two
+    dense matmuls. The weight matrices are (m, src) — tiny next to the
+    (out, src, src) banded tensors of the general warp — so this stage is
+    genuinely MXU-bound."""
+    src_h, src_w = image.shape[:2]
+    eh = extent[0].astype(jnp.float32)
+    ew = extent[1].astype(jnp.float32)
+
+    p = jax.lax.broadcasted_iota(jnp.float32, (m, 1), 0)
+    ya = scale[0, 1] + p * scale[0, 0]                 # (m, 1)
+    sy = jax.lax.broadcasted_iota(jnp.float32, (1, src_h), 1)
+    w1 = _tri(ya - sy) * (sy <= eh - 1.0)              # (m, src_h)
+    xa = scale[1, 1] + p * scale[1, 0]
+    sx = jax.lax.broadcasted_iota(jnp.float32, (1, src_w), 1)
+    w2 = _tri(xa - sx) * (sx <= ew - 1.0)              # (m, src_w)
+
+    src = image.astype(weight_dtype).reshape(src_h, src_w * image.shape[2])
+    t1 = jax.lax.dot(w1.astype(weight_dtype), src,
+                     preferred_element_type=jnp.float32)
+    t1 = t1.reshape(m, src_w, image.shape[2])          # (p, x, c)
+    inter = jax.lax.dot_general(
+        t1.astype(weight_dtype), w2.astype(weight_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (p, c, q)
+    return inter.transpose(0, 2, 1)                    # (p, q, c)
+
+
+def split_band_ok(homographies, out_shape, m=256, band=48):
+    """Host-side gate for warp_batch_split: the residual warps must satisfy
+    the banded kernel's support bound. By construction the residual scale is
+    ~m/out (~1), so this passes for any zoom; only strong rotation /
+    perspective in the crop camera rejects (then callers fall back to
+    warp_batch_mxu)."""
+    from .warp_pallas import pallas_band_ok
+    h = np.asarray(homographies, np.float64)
+    residual, scale = decompose_homography(h, out_shape, m, xp=np)
+    if not np.all(np.isfinite(residual)) or not np.all(scale[..., 0] > 0):
+        return False
+    return pallas_band_ok(residual, (m, m), out_shape, band=band,
+                          margin=band // 4)
+
+
+@functools.partial(jax.jit, static_argnames=('out_shape', 'm', 'band',
+                                             'interpret', 'stage_b'))
+def warp_batch_split(images, homographies, out_shape, extents=None, m=256,
+                     band=48, interpret=False, stage_b='pallas'):
+    """Two-stage batched perspective warp: per-image axis-aligned MXU
+    prescale onto an (m, m) intermediate, then the near-identity residual
+    homography via the banded Pallas kernel (stage_b='pallas') or the
+    two-pass matmul warp (stage_b='mxu', used on CPU where Pallas would
+    interpret).
+
+    This decomposition exists because the general warp's cost is the banded
+    weight-tensor *generation* (out_h*src_h*src_w hat-weight elements per
+    sample, ~100M at 512^2 canvases — measured generation-bound, not
+    MXU-bound). Stage A's weights are (m, src) per sample (~1000x fewer) and
+    stage B's are band-limited at unit scale, so the pair generates ~16x
+    fewer weight elements at 512^2 canvases.
+
+    Semantics: the same sampling locus as warp_batch_mxu; reconstruction is a
+    composition of two bilinear resamplings (the reference's own antialias
+    path composes resamplings the same way, cameralib.py:676-689). Callers
+    must gate with split_band_ok. Train-augmentation only; evaluation keeps
+    the gather path for strict cv2 parity.
+    """
+    b = images.shape[0]
+    if extents is None:
+        extents = jnp.tile(jnp.asarray(images.shape[1:3], jnp.int32), (b, 1))
+    on_tpu = jax.default_backend() == 'tpu'
+    wdtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if stage_b == 'pallas' and not on_tpu and not interpret:
+        stage_b = 'mxu'   # Pallas compiles for TPU only; hosts get the
+                          # numerically-identical matmul stage B
+
+    residual, scale = decompose_homography(
+        homographies.astype(jnp.float32), out_shape, m)
+    inter = jax.vmap(lambda im, sc, ex: _scale_resample_single(
+        im, sc, ex, m, wdtype))(images, scale, extents)
+
+    full = jnp.tile(jnp.asarray([m, m], jnp.int32), (b, 1))
+    if stage_b == 'pallas':
+        from .warp_pallas import warp_batch_pallas_banded
+        return warp_batch_pallas_banded(inter, residual, full, out_shape,
+                                        band=band, interpret=interpret)
+    return warp_batch_mxu(inter, residual, out_shape, full)
+
+
 def antialias_factor(homography, out_shape):
     """Host-side: the isotropic pre-downscale factor of the reference's
     antialias path (cameralib.py:676-689). Returns a float <= 1; 1 means no
