@@ -10,7 +10,11 @@ and least-squares absolute-root reconstruction.
     absolute = predictor.predict_absolute(crops, intrinsics)
 """
 
+import queue as queue_lib
+import threading
+import time
 import types
+from concurrent.futures import Future
 
 import numpy as np
 
@@ -121,6 +125,103 @@ class Predictor:
         lowered = jax.jit(self._forward_impl).lower(self.variables, *inputs)
         self._compiled = lowered.compile()
         return self._compiled
+
+
+class BatchingServer:
+    """Request batching/queueing in front of a Predictor (VERDICT round-2
+    item 10): single-crop requests are micro-batched up to the predictor's
+    compiled batch size (or until `max_delay_ms` passes), padded to the
+    fixed shape, run through one AOT-compiled forward, and resolved through
+    per-request futures. One device program shape -> no recompiles, and the
+    device sees full batches under load instead of batch-1 calls.
+
+        server = BatchingServer(predictor, max_delay_ms=5.0)
+        fut = server.submit(crop)              # (side_in, side_in, C)
+        coords = fut.result()['relat_cam']     # (J, 3)
+        server.stop()
+    """
+
+    def __init__(self, predictor, max_delay_ms=5.0, queue_size=1024):
+        self.predictor = predictor
+        self.batch_size = predictor.batch_size
+        self.max_delay = max_delay_ms / 1000.0
+        self._queue = queue_lib.Queue(maxsize=queue_size)
+        self._stopping = False
+        self.served = 0
+        self.batches = 0
+        predictor.aot_compile()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, crop):
+        """Enqueue one crop; returns a Future resolving to the predictor's
+        output dict with the batch dimension stripped."""
+        if self._stopping:
+            raise RuntimeError('server is stopped')
+        fut = Future()
+        self._queue.put((np.asarray(crop), fut))
+        return fut
+
+    def predict(self, crop, timeout=None):
+        """Blocking single-request convenience wrapper."""
+        return self.submit(crop).result(timeout)
+
+    def stop(self):
+        self._stopping = True
+        self._queue.put(None)
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _collect(self):
+        """Block for the first request, then drain up to batch_size-1 more
+        within the latency budget."""
+        item = self._queue.get()
+        if item is None:
+            return None
+        items = [item]
+        deadline = time.monotonic() + self.max_delay
+        while len(items) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue_lib.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)   # re-post the sentinel for next round
+                break
+            items.append(nxt)
+        return items
+
+    def _worker(self):
+        compiled = self.predictor._compiled
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            crops = np.stack([c for c, _ in items])
+            n = len(items)
+            if n < self.batch_size:
+                pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
+                crops = np.concatenate([crops, pad])
+            try:
+                out = compiled(self.predictor.variables, jnp.asarray(crops))
+                host = jax.tree_util.tree_map(np.asarray, out)
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result(jax.tree_util.tree_map(
+                        lambda a, i=i: a[i], host))
+            except Exception as e:               # resolve, don't wedge
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.served += n
+            self.batches += 1
 
 
 def preprocess_frames(frames, homographies, extents, side_in):

@@ -65,3 +65,42 @@ def test_preprocess_frames():
     out = np.asarray(preprocess_frames(frames, homs, extents, 65))
     assert out.shape == (2, 65, 65, 3)
     assert np.all(np.isfinite(out))
+
+
+class TestBatchingServer:
+    def test_single_and_burst_requests(self):
+        from pose_tpu.serve import BatchingServer
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=4)
+        rng = np.random.RandomState(2)
+        with BatchingServer(p, max_delay_ms=20.0) as server:
+            # single request (partial batch, padded)
+            crop = rng.randn(65, 65, 3).astype(np.float32)
+            out = server.predict(crop, timeout=60)
+            assert out['relat_cam'].shape == (5, 3)
+            assert np.all(np.isfinite(out['relat_cam']))
+
+            # burst: more requests than one batch
+            crops = [rng.randn(65, 65, 3).astype(np.float32)
+                     for _ in range(10)]
+            futs = [server.submit(c) for c in crops]
+            results = [f.result(timeout=60) for f in futs]
+            assert all(r['relat_cam'].shape == (5, 3) for r in results)
+
+            # batched result equals the direct predictor output
+            direct = p.predict_crops(np.stack(crops[:4]))
+            for i in range(4):
+                np.testing.assert_allclose(results[i]['relat_cam'],
+                                           direct['relat_cam'][i],
+                                           rtol=2e-4, atol=2e-3)
+            assert server.served == 11
+            assert server.batches >= 3   # 11 requests / batch 4
+
+    def test_stop_rejects_new_requests(self):
+        from pose_tpu.serve import BatchingServer
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=2)
+        server = BatchingServer(p, max_delay_ms=1.0)
+        server.stop()
+        with pytest.raises(RuntimeError):
+            server.submit(np.zeros((65, 65, 3), np.float32))
