@@ -64,9 +64,11 @@ def build(args, canvas=512):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def full_step(state, d, key, lr):
+        # 'split' is the loader's production default on TPU; the bench homs
+        # pass split_band_ok (same distribution the gate was designed for)
         image = augment.process_color_batch.__wrapped__(
             d['canvases'], d['homs'], d['extents'], key, args.side_in,
-            True, False)
+            True, False, warp_impl='split')
         mask = augment.bbox_mask_channel(d['quads'], args.side_in)
         image = jnp.concatenate([image, mask], axis=-1)
         batch = dict(image=image, true_cam=d['true_cam'],

@@ -37,13 +37,16 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
     The legacy mxu_warp bool maps to 'mxu'/'gather' when warp_impl is None."""
     if warp_impl is None:
         warp_impl = 'mxu' if mxu_warp else 'gather'
-    images = canvases.astype(jnp.float32) / 255.0
     if warp_impl in ('split', 'split_mxu'):
+        # uint8 canvases go straight into the split warp's bf16 stage-A dot
+        # (exact for integers <= 255); no f32 canvas copy is materialized
         crops = warp.warp_batch_split(
-            images, homographies, (side_in, side_in), extents,
+            canvases, homographies, (side_in, side_in), extents,
             stage_b='pallas' if warp_impl == 'split' else 'mxu')
         crops = jnp.clip(crops, 0.0, 1.0)
-    elif warp_impl == 'pallas_banded':
+        return _finish_color(crops, key, do_colour, do_eraser)
+    images = canvases.astype(jnp.float32) / 255.0
+    if warp_impl == 'pallas_banded':
         from ..ops.warp_pallas import warp_batch_pallas_banded
         crops = warp_batch_pallas_banded(images, homographies, extents,
                                          (side_in, side_in))

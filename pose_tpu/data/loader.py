@@ -99,14 +99,18 @@ class PoseLoader:
         self.epoch = 0
 
         self.canvas = canvas or (512, 512)
-        # POSE_TPU_WARP=mxu|gather|pallas_banded selects the train-time
-        # resampler (pallas_banded falls back to mxu per batch when
-        # pallas_band_ok rejects the homographies).
+        # POSE_TPU_WARP=split|mxu|gather|pallas_banded selects the train-time
+        # resampler. Default on TPU is the two-stage split warp (prescale +
+        # banded residual, ops/warp.py warp_batch_split) with per-batch
+        # fallback to mxu when split_band_ok rejects the homographies;
+        # elsewhere the exact single-pass mxu path (XLA:CPU has no Pallas,
+        # and the cv2-golden tests pin the single-pass semantics).
         # POSE_TPU_EVAL_WARP selects the eval-time resampler: 'gather'
         # (default) is strictly cv2-parity; 'mxu' trades a ~0.002 mean
         # intensity deviation (ops/warp.py:125-148) for the fast two-pass
         # matmul path when val_only throughput matters (VERDICT item 8).
-        self.warp_impl = os.environ.get('POSE_TPU_WARP', 'mxu')
+        default_impl = 'split' if jax.default_backend() == 'tpu' else 'mxu'
+        self.warp_impl = os.environ.get('POSE_TPU_WARP', default_impl)
         self.eval_warp_impl = os.environ.get('POSE_TPU_EVAL_WARP', 'gather')
 
         # native C++ decode pool (threaded libjpeg, native/pose_loader.cc);

@@ -287,11 +287,17 @@ def decompose_homography(homographies, out_shape, m, xp=jnp):
     return residual, scale
 
 
-def _scale_resample_single(image, scale, extent, m, weight_dtype):
+def _scale_resample_single(image, scale, extent, m, weight_dtype,
+                           post_scale=1.0):
     """Axis-aligned bilinear resample src -> (m, m) intermediate as two
     dense matmuls. The weight matrices are (m, src) — tiny next to the
     (out, src, src) banded tensors of the general warp — so this stage is
-    genuinely MXU-bound."""
+    genuinely MXU-bound.
+
+    uint8 sources are fed straight into the bf16 dot (integers <= 255 are
+    exact in bf16); pass post_scale=1/255 to fold the normalization into
+    the (m, m) intermediate instead of materializing a f32 copy of the
+    full-size canvas."""
     src_h, src_w = image.shape[:2]
     eh = extent[0].astype(jnp.float32)
     ew = extent[1].astype(jnp.float32)
@@ -312,28 +318,74 @@ def _scale_resample_single(image, scale, extent, m, weight_dtype):
         t1.astype(weight_dtype), w2.astype(weight_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (p, c, q)
+    if post_scale != 1.0:
+        inter = inter * jnp.float32(post_scale)
     return inter.transpose(0, 2, 1)                    # (p, q, c)
 
 
-def split_band_ok(homographies, out_shape, m=256, band=48):
+def _scale_resample_single_planar(image, scale, extent, m, weight_dtype,
+                                  post_scale=1.0):
+    """_scale_resample_single emitting channel-planar (c, m, m) with both
+    passes as pure dots and no transposes anywhere: pass 1 contracts src
+    rows producing (x, c, p), pass 2 contracts src columns producing
+    (c, p, q) — exactly the layout the banded Pallas stage B reads."""
+    src_h, src_w = image.shape[:2]
+    eh = extent[0].astype(jnp.float32)
+    ew = extent[1].astype(jnp.float32)
+
+    p = jax.lax.broadcasted_iota(jnp.float32, (m, 1), 0)
+    ya = scale[0, 1] + p * scale[0, 0]
+    sy = jax.lax.broadcasted_iota(jnp.float32, (1, src_h), 1)
+    w1 = _tri(ya - sy) * (sy <= eh - 1.0)              # (m, src_h)
+    xa = scale[1, 1] + p * scale[1, 0]
+    sx = jax.lax.broadcasted_iota(jnp.float32, (1, src_w), 1)
+    w2 = _tri(xa - sx) * (sx <= ew - 1.0)              # (m, src_w)
+
+    src = image.astype(weight_dtype)                   # (sy, x, c)
+    t1 = jax.lax.dot_general(
+        src, w1.astype(weight_dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (x, c, p)
+    inter = jax.lax.dot_general(
+        t1.astype(weight_dtype), w2.astype(weight_dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (c, p, q)
+    if post_scale != 1.0:
+        inter = inter * jnp.float32(post_scale)
+    return inter
+
+
+def split_defaults(out_shape):
+    """(m, band) for warp_batch_split/split_band_ok: the intermediate side m
+    tracks the output side (floor to the 8-sublane grid) so the residual
+    homography always has ~unit scale; the band covers the residual's
+    rotation/perspective spread at that size."""
+    m = max((out_shape[0] // 8) * 8, 16)
+    band = 32 if m >= 96 else 24
+    return m, min(band, m - 8)
+
+
+def split_band_ok(homographies, out_shape, m=None, band=None):
     """Host-side gate for warp_batch_split: the residual warps must satisfy
     the banded kernel's support bound. By construction the residual scale is
     ~m/out (~1), so this passes for any zoom; only strong rotation /
     perspective in the crop camera rejects (then callers fall back to
     warp_batch_mxu)."""
-    from .warp_pallas import pallas_band_ok
+    from .warp_pallas import band_ok_v2
+    defaults = split_defaults(out_shape)
+    m = m if m is not None else defaults[0]
+    band = band if band is not None else defaults[1]
     h = np.asarray(homographies, np.float64)
     residual, scale = decompose_homography(h, out_shape, m, xp=np)
     if not np.all(np.isfinite(residual)) or not np.all(scale[..., 0] > 0):
         return False
-    return pallas_band_ok(residual, (m, m), out_shape, band=band,
-                          margin=band // 4)
+    return band_ok_v2(residual, (m, m), out_shape, band=band)
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'm', 'band',
                                              'interpret', 'stage_b'))
-def warp_batch_split(images, homographies, out_shape, extents=None, m=256,
-                     band=48, interpret=False, stage_b='pallas'):
+def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
+                     band=None, interpret=False, stage_b='pallas'):
     """Two-stage batched perspective warp: per-image axis-aligned MXU
     prescale onto an (m, m) intermediate, then the near-identity residual
     homography via the banded Pallas kernel (stage_b='pallas') or the
@@ -354,6 +406,9 @@ def warp_batch_split(images, homographies, out_shape, extents=None, m=256,
     the gather path for strict cv2 parity.
     """
     b = images.shape[0]
+    defaults = split_defaults(out_shape)
+    m = m if m is not None else defaults[0]
+    band = band if band is not None else defaults[1]
     if extents is None:
         extents = jnp.tile(jnp.asarray(images.shape[1:3], jnp.int32), (b, 1))
     on_tpu = jax.default_backend() == 'tpu'
@@ -362,16 +417,22 @@ def warp_batch_split(images, homographies, out_shape, extents=None, m=256,
         stage_b = 'mxu'   # Pallas compiles for TPU only; hosts get the
                           # numerically-identical matmul stage B
 
+    # uint8 canvases feed the bf16 dot directly (integers <= 255 are exact);
+    # the 1/255 normalization lands on the small intermediate
+    post = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+
     residual, scale = decompose_homography(
         homographies.astype(jnp.float32), out_shape, m)
-    inter = jax.vmap(lambda im, sc, ex: _scale_resample_single(
-        im, sc, ex, m, wdtype))(images, scale, extents)
-
     full = jnp.tile(jnp.asarray([m, m], jnp.int32), (b, 1))
     if stage_b == 'pallas':
         from .warp_pallas import warp_batch_pallas_banded
+        inter = jax.vmap(lambda im, sc, ex: _scale_resample_single_planar(
+            im, sc, ex, m, wdtype, post))(images, scale, extents)
         return warp_batch_pallas_banded(inter, residual, full, out_shape,
-                                        band=band, interpret=interpret)
+                                        band=band, interpret=interpret,
+                                        version=2, planar_in=True)
+    inter = jax.vmap(lambda im, sc, ex: _scale_resample_single(
+        im, sc, ex, m, wdtype, post))(images, scale, extents)
     return warp_batch_mxu(inter, residual, out_shape, full)
 
 

@@ -208,6 +208,175 @@ def _banded_kernel(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
 
 
+def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
+                      inter_ref, intert_ref, outt_ref, *, src_hw, out_hw,
+                      v_pad, u_pad, band):
+    """Output-centric banded warp: iterate over 8-row *output* tiles instead
+    of source scanlines. Each tile reads ONE aligned (band+8)-row source
+    block and accumulates over a statically-unrolled tap loop — v1's
+    per-scanline read-modify-write of a (band, src_w) VMEM window and v2.0's
+    per-tap dynamic row reads are both gone; every access inside the unroll
+    has a static offset into the block. `band` is the semantic support
+    window; the physical block adds 8 rows so the block start can be
+    8-sublane aligned without shrinking coverage.
+    Same two-pass semantics and weights as v1/_warp_single_mxu; callers gate
+    with band_ok_v2 — a violated band silently drops weight."""
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+
+    i = pl.program_id(0)
+    h00 = hom_ref[i, 0]
+    h01 = hom_ref[i, 1]
+    h02 = hom_ref[i, 2]
+    h10 = hom_ref[i, 3]
+    h11 = hom_ref[i, 4]
+    h12 = hom_ref[i, 5]
+    h20 = hom_ref[i, 6]
+    h21 = hom_ref[i, 7]
+    h22 = hom_ref[i, 8]
+    eh = ext_ref[i, 0]
+    ew = ext_ref[i, 1]
+
+    def y_scalar(vf, xf):
+        denom_u = h00 - h20 * xf
+        u_of = (xf * (h21 * vf + h22) - h01 * vf - h02) / denom_u
+        w_h = h20 * u_of + h21 * vf + h22
+        return (h10 * u_of + h11 * vf + h12) / w_h
+
+    # full inverse row map, one vectorized pass (as v1)
+    v = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 1).astype(jnp.float32)
+    denom_u = h00 - h20 * xs
+    u_of = (xs * (h21 * v + h22) - h01 * v - h02) / denom_u
+    w_h = h20 * u_of + h21 * v + h22
+    Y = (h10 * u_of + h11 * v + h12) / w_h
+    y_ref[:, :] = jnp.where(jnp.isfinite(Y), Y, -1e9)
+
+    xm = jnp.float32(src_w // 2)
+    block = band + 8
+
+    def vtile_body(t, _):
+        vc = (8 * t + 4).astype(jnp.float32)
+        y_c = y_scalar(vc, xm)
+        y_c = jnp.where(jnp.isfinite(y_c), y_c, 0.0)
+        vlo = jnp.clip(y_c.astype(jnp.int32) - band // 2, 0, src_h - block)
+        vlo = (vlo // 8) * 8                 # aligned whole-block read below
+        yb = y_ref[pl.ds(8 * t, 8), :] - vlo.astype(jnp.float32)  # (8, src_w)
+        blocks = [src_ref[0, c, pl.ds(vlo, block), :].astype(jnp.float32)
+                  for c in range(3)]
+        top = eh - vlo.astype(jnp.float32)   # taps at >= top are padding
+
+        accs = [jnp.zeros((8, src_w), jnp.float32) for _ in range(3)]
+        for k in range(block):               # static unroll, static offsets
+            w = _tri(yb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
+            for c in range(3):
+                accs[c] = accs[c] + w * blocks[c][k:k + 1, :]
+        for c in range(3):
+            inter_ref[c, pl.ds(8 * t, 8), :] = accs[c]
+        return 0
+
+    jax.lax.fori_loop(0, v_pad // 8, vtile_body, 0)
+
+    for c in range(3):
+        intert_ref[c, :, :] = jnp.transpose(inter_ref[c, :, :])
+
+    # pass 2 (transposed accumulation) over 8-column output tiles
+    u_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 0).astype(jnp.float32)
+    v_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 1).astype(jnp.float32)
+    w_x = h20 * u_t + h21 * v_t + h22
+    X_t = (h00 * u_t + h01 * v_t + h02) / w_x
+    xt_ref[:, :] = jnp.where(jnp.isfinite(X_t), X_t, -1e9)
+
+    vm = jnp.float32(out_h // 2)
+
+    def x_scalar(uf, vf):
+        return (h00 * uf + h01 * vf + h02) / (h20 * uf + h21 * vf + h22)
+
+    def utile_body(t, _):
+        uc = (8 * t + 4).astype(jnp.float32)
+        x_c = x_scalar(uc, vm)
+        x_c = jnp.where(jnp.isfinite(x_c), x_c, 0.0)
+        xlo = jnp.clip(x_c.astype(jnp.int32) - band // 2, 0, src_w - block)
+        xlo = (xlo // 8) * 8
+        xb = xt_ref[pl.ds(8 * t, 8), :] - xlo.astype(jnp.float32)  # (8, v_pad)
+        blocks = [intert_ref[c, pl.ds(xlo, block), :] for c in range(3)]
+        top = ew - xlo.astype(jnp.float32)
+
+        accs = [jnp.zeros((8, v_pad), jnp.float32) for _ in range(3)]
+        for k in range(block):
+            w2 = _tri(xb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
+            for c in range(3):
+                accs[c] = accs[c] + w2 * blocks[c][k:k + 1, :]
+        for c in range(3):
+            outt_ref[c, pl.ds(8 * t, 8), :] = accs[c]
+        return 0
+
+    jax.lax.fori_loop(0, u_pad // 8, utile_body, 0)
+
+    for c in range(3):
+        out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
+
+
+def band_ok_v2(homographies, src_hw, out_hw, band=32):
+    """Host-side gate for the output-centric kernel: every output 8-tile's
+    true source taps (bilinear pair + in-tile spread + cross-width deviation
+    from the tile-center estimate) must fit within band/2 of the estimate.
+    The kernel's physical block is band+8 rows so 8-sublane alignment costs
+    no coverage. numpy, O(B) scalars."""
+    import numpy as np
+
+    h = np.asarray(homographies, np.float64)
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+    if src_h < band + 8 or src_w < band + 8:
+        return False
+
+    def y_at(hh, vf, xf):
+        denom_u = hh[0, 0] - hh[2, 0] * xf
+        if abs(denom_u) < 1e-9:
+            return np.nan
+        u_of = (xf * (hh[2, 1] * vf + hh[2, 2]) - hh[0, 1] * vf
+                - hh[0, 2]) / denom_u
+        w_h = hh[2, 0] * u_of + hh[2, 1] * vf + hh[2, 2]
+        return (hh[1, 0] * u_of + hh[1, 1] * vf + hh[1, 2]) / w_h
+
+    def x_at(hh, uf, vf):
+        d = hh[2, 0] * uf + hh[2, 1] * vf + hh[2, 2]
+        if abs(d) < 1e-9:
+            return np.nan
+        return (hh[0, 0] * uf + hh[0, 1] * vf + hh[0, 2]) / d
+
+    half = band // 2 - 2            # bilinear tap pair
+    for hh in h:
+        xm = src_w // 2
+        vm = out_h // 2
+        slope = (y_at(hh, 8.0, xm) - y_at(hh, 0.0, xm)) / 8.0
+        slope2 = (x_at(hh, 8.0, vm) - x_at(hh, 0.0, vm)) / 8.0
+        if not (np.isfinite(slope) and np.isfinite(slope2)):
+            return False
+        for vf in (0.0, out_h / 2, out_h - 1.0):
+            y_c = y_at(hh, vf, xm)
+            if not np.isfinite(y_c):
+                return False
+            for xf in (0.0, src_w - 1.0):
+                yv = y_at(hh, vf, xf)
+                if not np.isfinite(yv):
+                    return False
+                if abs(yv - y_c) + 4.0 * abs(slope) > half:
+                    return False
+        for uf in (0.0, out_w / 2, out_w - 1.0):
+            x_c = x_at(hh, uf, vm)
+            if not np.isfinite(x_c):
+                return False
+            for vf in (0.0, out_h - 1.0):
+                xv = x_at(hh, uf, vf)
+                if not np.isfinite(xv):
+                    return False
+                if abs(xv - x_c) + 4.0 * abs(slope2) > half:
+                    return False
+    return True
+
+
 def pallas_band_ok(homographies, src_hw, out_hw, band=64, margin=12):
     """Host-side gate for the banded kernel: True when every sample's inverse
     maps are monotone with bounded band support. numpy, O(B) scalars."""
@@ -261,22 +430,32 @@ def pallas_band_ok(homographies, src_hw, out_hw, band=64, margin=12):
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'interpret',
-                                             'band'))
+                                             'band', 'version', 'planar_in'))
 def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
-                             band=64, interpret=False):
-    """Band-limited fused warp; gate with pallas_band_ok first."""
-    b, src_h, src_w, _ = canvases.shape
+                             band=64, interpret=False, version=1,
+                             planar_in=False):
+    """Band-limited fused warp; gate with pallas_band_ok (version=1,
+    source-scanline iteration) or band_ok_v2 (version=2, output-tile
+    iteration — faster, see _banded_kernel_v2). planar_in=True takes
+    (B, 3, H, W) f32 directly (the split warp's stage A emits this),
+    skipping the NHWC transpose."""
+    if planar_in:
+        b, _, src_h, src_w = canvases.shape
+        planar = canvases.astype(jnp.float32)
+    else:
+        b, src_h, src_w, _ = canvases.shape
+        planar = jnp.transpose(canvases, (0, 3, 1, 2)).astype(jnp.float32)
     out_h, out_w = out_shape
     v_pad = ((out_h + 7) // 8) * 8
 
-    planar = jnp.transpose(canvases, (0, 3, 1, 2)).astype(jnp.float32)
     homs = homographies.reshape(b, 9).astype(jnp.float32)
     exts = extents.reshape(b, 2).astype(jnp.float32)
 
     u_pad = ((out_w + 7) // 8) * 8
-    kernel = functools.partial(_banded_kernel, src_hw=(src_h, src_w),
-                               out_hw=(out_h, out_w), v_pad=v_pad,
-                               u_pad=u_pad, band=band)
+    kernel = functools.partial(
+        _banded_kernel if version == 1 else _banded_kernel_v2,
+        src_hw=(src_h, src_w), out_hw=(out_h, out_w), v_pad=v_pad,
+        u_pad=u_pad, band=band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),

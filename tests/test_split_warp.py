@@ -106,18 +106,28 @@ class TestSplitWarp:
     def test_pallas_stage_b_matches_mxu(self):
         sp_mxu = np.asarray(warp.warp_batch_split(
             self.imgs, jnp.asarray(self.homs), (self.out, self.out),
-            self.ext, m=self.m, band=24, stage_b='mxu'))
+            self.ext, m=self.m, band=32, stage_b='mxu'))
         sp_pal = np.asarray(warp.warp_batch_split(
             self.imgs, jnp.asarray(self.homs), (self.out, self.out),
-            self.ext, m=self.m, band=24, interpret=True))
+            self.ext, m=self.m, band=32, interpret=True))
         np.testing.assert_allclose(sp_pal, sp_mxu, atol=1e-4)
 
+    def test_uint8_matches_float_input(self):
+        u8 = np.asarray(self.imgs * 255).astype(np.uint8)
+        sp_u8 = np.asarray(warp.warp_batch_split(
+            jnp.asarray(u8), jnp.asarray(self.homs), (self.out, self.out),
+            self.ext, m=self.m, band=32, stage_b='mxu'))
+        sp_f = np.asarray(warp.warp_batch_split(
+            jnp.asarray(u8.astype(np.float32) / 255.0),
+            jnp.asarray(self.homs), (self.out, self.out),
+            self.ext, m=self.m, band=32, stage_b='mxu'))
+        np.testing.assert_allclose(sp_u8, sp_f, atol=1e-5)
+
     def test_gate_accepts_crop_cameras_rejects_strong_rotation(self):
-        assert warp.split_band_ok(self.homs, (self.out, self.out),
-                                  m=256, band=48)
+        # defaults derive (m, band) from out_shape (split_defaults)
+        assert warp.split_band_ok(self.homs, (self.out, self.out))
         strong = crop_hom(96, 49, 1.0, 0.6, 5, 5)   # ~34 degrees
-        assert not warp.split_band_ok(strong[None], (self.out, self.out),
-                                      m=256, band=48)
+        assert not warp.split_band_ok(strong[None], (self.out, self.out))
 
     def test_gate_rejects_degenerate(self):
         bad = np.eye(3, dtype=np.float32)
