@@ -39,12 +39,26 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
         warp_impl = 'mxu' if mxu_warp else 'gather'
     if warp_impl in ('split', 'split_mxu'):
         # uint8 canvases go straight into the split warp's bf16 stage-A dot
-        # (exact for integers <= 255); no f32 canvas copy is materialized
+        # (exact for integers <= 255); no f32 canvas copy is materialized.
+        # The whole post-warp chain runs channel-planar — full (H, W) lane
+        # tiles instead of a 3-wide minor dim — and transposes to NHWC once
+        # at the end (identical op sequence, bit-identical values).
         crops = warp.warp_batch_split(
             canvases, homographies, (side_in, side_in), extents,
-            stage_b='pallas' if warp_impl == 'split' else 'mxu')
+            stage_b='pallas' if warp_impl == 'split' else 'mxu',
+            planar_out=True)
         crops = jnp.clip(crops, 0.0, 1.0)
-        return _finish_color(crops, key, do_colour, do_eraser)
+        if do_colour:
+            keys = jax.random.split(key, crops.shape[0])
+            crops = colour.random_color_batch_planar(crops, keys)
+        if do_eraser:
+            crops = jnp.transpose(crops, (0, 2, 3, 1))
+            ekeys = jax.random.split(jax.random.fold_in(key, 1),
+                                     crops.shape[0])
+            crops = jax.vmap(occluder.random_erase)(crops, ekeys)
+            return colour.normalize_imagenet(crops)
+        crops = colour.normalize_imagenet_planar(crops)
+        return jnp.transpose(crops, (0, 2, 3, 1))
     images = canvases.astype(jnp.float32) / 255.0
     if warp_impl == 'pallas_banded':
         from ..ops.warp_pallas import warp_batch_pallas_banded

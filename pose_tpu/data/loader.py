@@ -290,6 +290,23 @@ class PoseLoader:
         self._scale_lookup_batch(batch, np.asarray(prescales, np.float32))
         return batch
 
+    def _gated_impl(self, homographies):
+        """Per-batch resampler choice: the banded implementations carry
+        host-side support gates and fall back to the exact mxu path when a
+        batch's homographies violate them."""
+        impl = self.eval_warp_impl if self.at_test else self.warp_impl
+        if impl == 'pallas_banded':
+            from ..ops.warp_pallas import pallas_band_ok
+            if not pallas_band_ok(np.asarray(homographies), self.canvas,
+                                  (self.side_in, self.side_in)):
+                impl = 'mxu'
+        elif impl in ('split', 'split_mxu'):
+            from ..ops.warp import split_band_ok
+            if not split_band_ok(np.asarray(homographies),
+                                 (self.side_in, self.side_in)):
+                impl = 'mxu'
+        return impl
+
     def _pad_to_mesh(self, batch):
         n = len(batch['canvas'])
         m = self.mesh.devices.size
@@ -339,18 +356,7 @@ class PoseLoader:
             else:
                 # train uses the configured resampler (default: MXU two-pass);
                 # eval defaults to the gather path for strict cv2 parity
-                impl = self.eval_warp_impl if self.at_test else self.warp_impl
-                if impl == 'pallas_banded':
-                    from ..ops.warp_pallas import pallas_band_ok
-                    if not pallas_band_ok(np.asarray(device['homography']),
-                                          self.canvas,
-                                          (self.side_in, self.side_in)):
-                        impl = 'mxu'
-                elif impl in ('split', 'split_mxu'):
-                    from ..ops.warp import split_band_ok
-                    if not split_band_ok(np.asarray(device['homography']),
-                                         (self.side_in, self.side_in)):
-                        impl = 'mxu'
+                impl = self._gated_impl(device['homography'])
                 image = augment.process_color_batch(
                     device['canvas'], device['homography'], device['extent'],
                     key, self.side_in, self.colour, self.eraser,
@@ -608,8 +614,8 @@ class DepthPoseLoader(PoseLoader):
                 color = augment.process_color_batch(
                     color_dev['canvas'], color_dev['homography'],
                     color_dev['extent'], key, self.side_in, self.colour,
-                    self.eraser, warp_impl=self.eval_warp_impl
-                    if self.at_test else self.warp_impl)
+                    self.eraser,
+                    warp_impl=self._gated_impl(color_dev['homography']))
 
         depth_dev = shard_batch(self.mesh, {
             'canvas': batch.pop('depth_canvas'),

@@ -383,9 +383,11 @@ def split_band_ok(homographies, out_shape, m=None, band=None):
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'm', 'band',
-                                             'interpret', 'stage_b'))
+                                             'interpret', 'stage_b',
+                                             'planar_out'))
 def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
-                     band=None, interpret=False, stage_b='pallas'):
+                     band=None, interpret=False, stage_b='pallas',
+                     planar_out=False):
     """Two-stage batched perspective warp: per-image axis-aligned MXU
     prescale onto an (m, m) intermediate, then the near-identity residual
     homography via the banded Pallas kernel (stage_b='pallas') or the
@@ -430,10 +432,14 @@ def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
             im, sc, ex, m, wdtype, post))(images, scale, extents)
         return warp_batch_pallas_banded(inter, residual, full, out_shape,
                                         band=band, interpret=interpret,
-                                        version=2, planar_in=True)
+                                        version=2, planar_in=True,
+                                        planar_out=planar_out)
     inter = jax.vmap(lambda im, sc, ex: _scale_resample_single(
         im, sc, ex, m, wdtype, post))(images, scale, extents)
-    return warp_batch_mxu(inter, residual, out_shape, full)
+    out = warp_batch_mxu(inter, residual, out_shape, full)
+    if planar_out:
+        return jnp.transpose(out, (0, 3, 1, 2))
+    return out
 
 
 def antialias_factor(homography, out_shape):

@@ -430,10 +430,11 @@ def pallas_band_ok(homographies, src_hw, out_hw, band=64, margin=12):
 
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'interpret',
-                                             'band', 'version', 'planar_in'))
+                                             'band', 'version', 'planar_in',
+                                             'planar_out'))
 def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
                              band=64, interpret=False, version=1,
-                             planar_in=False):
+                             planar_in=False, planar_out=False):
     """Band-limited fused warp; gate with pallas_band_ok (version=1,
     source-scanline iteration) or band_ok_v2 (version=2, output-tile
     iteration — faster, see _banded_kernel_v2). planar_in=True takes
@@ -480,6 +481,8 @@ def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
         out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_w), jnp.float32),
         interpret=interpret,
     )(homs, exts, planar)
+    if planar_out:
+        return out
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
