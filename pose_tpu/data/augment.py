@@ -172,13 +172,24 @@ def to_depth_correction(depth_crop, k_inv):
 
 
 @functools.partial(jax.jit, static_argnames=('side_in', 'nexponent',
-                                             'apply_to_depth', 'mxu_warp'))
+                                             'apply_to_depth', 'mxu_warp',
+                                             'warp_impl'))
 def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
-                        side_in, nexponent, apply_to_depth, mxu_warp=True):
+                        side_in, nexponent, apply_to_depth, mxu_warp=True,
+                        warp_impl=None):
     """(B, Hc, Wc, 1) float32 raw-depth canvases -> (B, side_in, side_in, 1)
     enhanced depth inputs. `thresh` is the per-sample dataset validity
-    threshold (0.1 ntu / 0.5 pku), enabling mixed-dataset batches."""
-    if mxu_warp:
+    threshold (0.1 ntu / 0.5 pku), enabling mixed-dataset batches.
+    warp_impl as in process_color_batch (the v2 banded kernel is
+    channel-generic, so 'split' serves the 1-channel depth stream too);
+    the legacy mxu_warp bool maps to 'mxu'/'gather' when it is None."""
+    if warp_impl is None:
+        warp_impl = 'mxu' if mxu_warp else 'gather'
+    if warp_impl in ('split', 'split_mxu'):
+        crops = warp.warp_batch_split(
+            canvases, homographies, (side_in, side_in), extents,
+            stage_b='pallas' if warp_impl == 'split' else 'mxu')
+    elif warp_impl == 'mxu':
         crops = warp.warp_batch_mxu(canvases, homographies,
                                     (side_in, side_in), extents)
     else:

@@ -624,11 +624,15 @@ class DepthPoseLoader(PoseLoader):
             'k_inv': batch.pop('depth_k_inv')})
         thresh = np.full((len(depth_dev['canvas']),), self.enhance_thresh,
                          np.float32)
+        if self.at_test:
+            depth_impl = ('mxu' if self.eval_warp_impl == 'mxu'
+                          else 'gather')
+        else:
+            depth_impl = self._gated_impl(depth_dev['homography'])
         depth = augment.process_depth_batch(
             depth_dev['canvas'], depth_dev['homography'], depth_dev['extent'],
             depth_dev['k_inv'], shard_batch(self.mesh, thresh), self.side_in,
-            self.nexponent, self.apply_to_depth,
-            mxu_warp=(not self.at_test) or self.eval_warp_impl == 'mxu')
+            self.nexponent, self.apply_to_depth, warp_impl=depth_impl)
 
         if 'atten_map' in batch:
             # reference layout (B, 1, S, S) -> NHWC (B, S, S, 1) to broadcast

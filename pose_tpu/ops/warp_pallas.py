@@ -220,9 +220,13 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
     window; the physical block adds 8 rows so the block start can be
     8-sublane aligned without shrinking coverage.
     Same two-pass semantics and weights as v1/_warp_single_mxu; callers gate
-    with band_ok_v2 — a violated band silently drops weight."""
+    with band_ok_v2 — a violated band silently drops weight.
+
+    Channel-generic: the loop count comes from the src block's static shape
+    (RGB crops use 3, raw-depth crops 1)."""
     src_h, src_w = src_hw
     out_h, out_w = out_hw
+    n_ch = src_ref.shape[1]
 
     i = pl.program_id(0)
     h00 = hom_ref[i, 0]
@@ -263,21 +267,21 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         vlo = (vlo // 8) * 8                 # aligned whole-block read below
         yb = y_ref[pl.ds(8 * t, 8), :] - vlo.astype(jnp.float32)  # (8, src_w)
         blocks = [src_ref[0, c, pl.ds(vlo, block), :].astype(jnp.float32)
-                  for c in range(3)]
+                  for c in range(n_ch)]
         top = eh - vlo.astype(jnp.float32)   # taps at >= top are padding
 
         accs = [jnp.zeros((8, src_w), jnp.float32) for _ in range(3)]
         for k in range(block):               # static unroll, static offsets
             w = _tri(yb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
-            for c in range(3):
+            for c in range(n_ch):
                 accs[c] = accs[c] + w * blocks[c][k:k + 1, :]
-        for c in range(3):
+        for c in range(n_ch):
             inter_ref[c, pl.ds(8 * t, 8), :] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, v_pad // 8, vtile_body, 0)
 
-    for c in range(3):
+    for c in range(n_ch):
         intert_ref[c, :, :] = jnp.transpose(inter_ref[c, :, :])
 
     # pass 2 (transposed accumulation) over 8-column output tiles
@@ -299,21 +303,21 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         xlo = jnp.clip(x_c.astype(jnp.int32) - band // 2, 0, src_w - block)
         xlo = (xlo // 8) * 8
         xb = xt_ref[pl.ds(8 * t, 8), :] - xlo.astype(jnp.float32)  # (8, v_pad)
-        blocks = [intert_ref[c, pl.ds(xlo, block), :] for c in range(3)]
+        blocks = [intert_ref[c, pl.ds(xlo, block), :] for c in range(n_ch)]
         top = ew - xlo.astype(jnp.float32)
 
         accs = [jnp.zeros((8, v_pad), jnp.float32) for _ in range(3)]
         for k in range(block):
             w2 = _tri(xb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
-            for c in range(3):
+            for c in range(n_ch):
                 accs[c] = accs[c] + w2 * blocks[c][k:k + 1, :]
-        for c in range(3):
+        for c in range(n_ch):
             outt_ref[c, pl.ds(8 * t, 8), :] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, u_pad // 8, utile_body, 0)
 
-    for c in range(3):
+    for c in range(n_ch):
         out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
 
 
@@ -438,14 +442,16 @@ def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
     """Band-limited fused warp; gate with pallas_band_ok (version=1,
     source-scanline iteration) or band_ok_v2 (version=2, output-tile
     iteration — faster, see _banded_kernel_v2). planar_in=True takes
-    (B, 3, H, W) f32 directly (the split warp's stage A emits this),
-    skipping the NHWC transpose."""
+    (B, C, H, W) f32 directly (the split warp's stage A emits this),
+    skipping the NHWC transpose. version=2 is channel-generic (RGB crops
+    C=3, raw-depth crops C=1); version=1 requires C=3."""
     if planar_in:
-        b, _, src_h, src_w = canvases.shape
+        b, n_ch, src_h, src_w = canvases.shape
         planar = canvases.astype(jnp.float32)
     else:
-        b, src_h, src_w, _ = canvases.shape
+        b, src_h, src_w, n_ch = canvases.shape
         planar = jnp.transpose(canvases, (0, 3, 1, 2)).astype(jnp.float32)
+    assert version == 2 or n_ch == 3, 'v1 kernel is 3-channel only'
     out_h, out_w = out_shape
     v_pad = ((out_h + 7) // 8) * 8
 
@@ -461,24 +467,25 @@ def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3, src_h, src_w), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_ch, src_h, src_w), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, out_h, out_w),
+        out_specs=pl.BlockSpec((1, n_ch, out_h, out_w),
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((v_pad, src_w), jnp.float32),       # Y
             pltpu.VMEM((((out_w + 7) // 8) * 8, v_pad), jnp.float32),  # X_t
-            pltpu.VMEM((3, v_pad, src_w), jnp.float32),    # inter
-            pltpu.VMEM((3, src_w, v_pad), jnp.float32),    # inter_t
-            pltpu.VMEM((3, ((out_w + 7) // 8) * 8, v_pad), jnp.float32),  # out_t
+            pltpu.VMEM((n_ch, v_pad, src_w), jnp.float32),    # inter
+            pltpu.VMEM((n_ch, src_w, v_pad), jnp.float32),    # inter_t
+            pltpu.VMEM((n_ch, ((out_w + 7) // 8) * 8, v_pad),
+                       jnp.float32),                          # out_t
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_ch, out_h, out_w), jnp.float32),
         interpret=interpret,
     )(homs, exts, planar)
     if planar_out:

@@ -159,3 +159,27 @@ class TestLoaderWiring:
         assert img.shape == (4, 65, 65, 3)
         assert np.all(np.isfinite(img))
         assert img.std() > 0.1
+
+
+class TestDepthChannel:
+    def test_single_channel_split(self):
+        """The v2 banded kernel is channel-generic: the 1-channel depth
+        stream runs the same split path (loader.py depth _finalize)."""
+        rng = np.random.RandomState(3)
+        s, out, m = 96, 49, 48
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        d = (2.0 + np.sin(yy / 13.0) + np.cos(xx / 17.0))[..., None]
+        imgs = jnp.asarray(np.stack([d, d[::-1].copy()]).astype(np.float32))
+        homs = np.stack([crop_hom(s, out, 1.0, 0.03, 5, 8),
+                         crop_hom(s, out, 0.95, -0.04, 10, 2)])
+        ext = jnp.asarray(np.tile([s, s], (2, 1)).astype(np.int32))
+        pal = np.asarray(warp.warp_batch_split(
+            imgs, jnp.asarray(homs), (out, out), ext, m=m, band=32,
+            interpret=True))
+        mxu = np.asarray(warp.warp_batch_split(
+            imgs, jnp.asarray(homs), (out, out), ext, m=m, band=32,
+            stage_b='mxu'))
+        np.testing.assert_allclose(pal, mxu, atol=1e-4)
+        ref = np.asarray(warp.warp_batch(imgs, jnp.asarray(homs),
+                                         (out, out), ext))
+        assert np.abs(mxu - ref).mean() < 1e-2   # smooth depth surface
