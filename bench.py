@@ -63,7 +63,10 @@ def build(args, canvas=512):
                                              do_track=True)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def full_step(state, d, key, lr):
+    def full_step(state, d, key, i, lr):
+        # fold_in inside the program: through a remote-dispatch transport a
+        # separate host-side fold_in is one extra round trip per step
+        key = jax.random.fold_in(key, i)
         # 'split' is the loader's production default on TPU; the bench homs
         # pass split_band_ok (same distribution the gate was designed for)
         image = augment.process_color_batch.__wrapped__(
@@ -104,7 +107,7 @@ def build(args, canvas=512):
     key = jax.random.PRNGKey(0)
 
     def run_once(state, i):
-        return full_step(state, d, jax.random.fold_in(key, i), 1e-4)
+        return full_step(state, d, key, np.uint32(i), 1e-4)
 
     return state, run_once
 
