@@ -61,46 +61,9 @@ def main():
         emit(error='as_text failed: ' + repr(e)[:300])
         return
     emit(hlo_chars=len(txt))
-
-    # index fusion definitions: "%fusion.N (fused_computation...)" plus the
-    # computations they call; report the op mix + shapes of each hot fusion
-    comps = {}
-    cur = None
-    for line in txt.splitlines():
-        mdef = re.match(r'%?(\S+)\s+\(', line.strip()) \
-            if line and not line.startswith(' ') else None
-        if mdef:
-            cur = mdef.group(1)
-            comps[cur] = []
-        elif cur is not None:
-            comps[cur].append(line.strip())
-
-    # map fusion instruction name -> called computation
-    fusion_call = {}
-    for name, lines in comps.items():
-        for ln in lines:
-            m = re.match(r'%?([\w.\-]+)\s*=.*fusion\(.*calls=%?([\w.\-]+)',
-                         ln)
-            if m:
-                fusion_call[m.group(1)] = m.group(2)
-
-    for hot in HOT:
-        target = fusion_call.get(hot)
-        if target is None or target not in comps:
-            emit(fusion=hot, info='not found')
-            continue
-        kinds = {}
-        convs = []
-        for ln in comps[target]:
-            m = re.match(r'%?[\w.\-]+ = (\S+?)\[?.*?\]? (\w+)\(', ln)
-            op = ln.split('=')[1].strip().split('(')[0].split()[-1] \
-                if '=' in ln else ''
-            kinds[op] = kinds.get(op, 0) + 1
-            if 'convolution' in ln:
-                convs.append(ln[:160])
-        emit(fusion=hot, computation=target,
-             ops=sorted(kinds.items(), key=lambda kv: -kv[1])[:8],
-             convs=convs[:2])
+    with open('/tmp/trunk_hlo.txt', 'w') as f:
+        f.write(txt)
+    emit(saved='/tmp/trunk_hlo.txt')
 
 
 if __name__ == '__main__':
