@@ -31,7 +31,7 @@ def process_color_batch(canvases, homographies, extents, key, side_in,
 
     warp_impl: 'mxu' (default train path), 'gather' (strict cv2 parity, used
     at evaluation), 'pallas_banded' (fused VMEM kernel; callers must gate
-    with warp_pallas.pallas_band_ok), 'split' / 'split_mxu' (two-stage
+    with warp_pallas.band_ok_v2), 'split' / 'split_mxu' (two-stage
     prescale+residual warp; callers must gate with warp.split_band_ok —
     'split_mxu' runs stage B on the matmul path for hosts without Pallas).
     The legacy mxu_warp bool maps to 'mxu'/'gather' when warp_impl is None."""

@@ -296,9 +296,9 @@ class PoseLoader:
         batch's homographies violate them."""
         impl = self.eval_warp_impl if self.at_test else self.warp_impl
         if impl == 'pallas_banded':
-            from ..ops.warp_pallas import pallas_band_ok
-            if not pallas_band_ok(np.asarray(homographies), self.canvas,
-                                  (self.side_in, self.side_in)):
+            from ..ops.warp_pallas import band_ok_v2
+            if not band_ok_v2(np.asarray(homographies), self.canvas,
+                              (self.side_in, self.side_in)):
                 impl = 'mxu'
         elif impl in ('split', 'split_mxu'):
             from ..ops.warp import split_band_ok

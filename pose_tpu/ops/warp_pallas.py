@@ -1,32 +1,38 @@
-"""Fully-fused Pallas perspective-warp kernel (experimental alternative).
+"""Fused Pallas perspective-warp kernels (VMEM-resident, gather-free).
 
-The XLA two-pass matmul warp (ops.warp.warp_batch_mxu) is HBM-bound: its
-banded weight matrices cost ~8 GB of traffic per batch-64. This kernel keeps
-the whole sample resident in VMEM — source canvas, intermediate and output —
-and regenerates the hat weights on the VPU per scanline, so HBM sees only the
-canvas read and the crop write (~60 MB/batch).
+The general-warp cost on TPU is the *generation* of the banded bilinear
+weight tensors (out_h*src_h*src_w hat weights per sample), whether fused
+into XLA dots (warp_batch_mxu) or streamed on the VPU. These kernels keep
+the whole sample resident in VMEM and touch only the ~band source rows that
+can contribute to each output tile, so HBM sees the canvas read and crop
+write only.
 
-Status (v5e, batch 64, 384²→257²):
-- warp_batch_pallas (full scanlines): correct, 43 ms — ~99% of VPU FMAs land
-  on zero hat-weights.
-- warp_batch_pallas_banded: correct (validated vs the gather and MXU paths on
-  TPU), 8.2 ms at band=64 / 6.7 ms at band=32, vs 9.5 ms for the MXU matmul
-  path. The band-start estimate assumes near-upright transforms; callers gate
-  with `pallas_band_ok` (conservative) and fall back to warp_batch_mxu.
-  warp_batch_mxu remains the default production path — the ~1-3 ms gain does
-  not yet justify the host-side gating in the loader; revisit when the train
-  step (56 ms) stops dominating.
+Production use: `warp_batch_pallas_banded` (the `_banded_kernel_v2`
+output-tile kernel) is STAGE B of the split warp (ops.warp.warp_batch_split)
+— the residual, unit-scale warp after the axis-aligned MXU prescale; it is
+the TPU train-path default via POSE_TPU_WARP=split. Gate with `band_ok_v2`;
+a violated band silently drops weight (the loader falls back to
+warp_batch_mxu per batch).
 
-Same two-pass (Catmull-Smith) semantics as _warp_single_mxu: pass 1 resamples
-columns at Y(v, x_s), pass 2 resamples rows at X(u, v); zero border beyond
-the per-sample extent.
+Kernel history (v5e, 256²→257², bs128): round-1 source-scanline RMW loop
+10.4 ms → output-tiles with per-tap dynamic row reads 8.9 ms → aligned
+whole-block read + statically-unrolled tap loop ~2.6 ms. Dynamic-offset
+accesses and loop trips price a Mosaic kernel, not FLOPs. The superseded
+kernels were removed once v2 measured bit-exact against them;
+`warp_batch_pallas` (full scanlines, 43 ms — ~99% of FMAs land on zero
+weights) is kept solely as the independent test oracle for the banded
+kernel's semantics.
+
+Same two-pass (Catmull-Smith) semantics as _warp_single_mxu: pass 1
+resamples columns at Y(v, x_s), pass 2 resamples rows at X(u, v); zero
+border beyond the per-sample extent.
 
 Layout notes:
-- channel-planar (B, 3, S, S): every VPU op is a clean 2-D (sublane, lane)
-  tile; channels in the minor dim would waste 125/128 lanes.
-- pass 2 accumulates transposed (out_w, v) so its scanline reads slice the
-  *sublane* dim (cheap dynamic addressing); a lane-dim dynamic slice per
-  iteration would serialize.
+- channel-planar (B, C, S, S): every VPU op is a clean 2-D (sublane, lane)
+  tile; channels in the minor dim would waste most of the 128 lanes.
+- pass 2 accumulates transposed (out_w, v) so its reads slice the *sublane*
+  dim (cheap dynamic addressing); a lane-dim dynamic slice per iteration
+  would serialize.
 """
 
 import functools
@@ -104,110 +110,6 @@ def _warp_kernel(hom_ref, ext_ref, src_ref, out_ref, inter_ref, *, src_hw,
         out_ref[0, c, :, :] = jnp.transpose(out_t[c])[:out_h, :]
 
 
-def _banded_kernel(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
-                   inter_ref, intert_ref, outt_ref, *, src_hw, out_hw,
-                   v_pad, u_pad, band):
-    """Band-limited variant: each source scanline updates only the ~band
-    output rows whose hat weights can be nonzero (the resampling is locally
-    supported: 2 taps + the shear spread across the tile width). The band
-    start comes from the scanline's inverse-map slope; callers must gate on
-    `pallas_band_ok` — a violated band silently drops weight."""
-    src_h, src_w = src_hw
-    out_h, out_w = out_hw
-
-    i = pl.program_id(0)
-    h00 = hom_ref[i, 0]
-    h01 = hom_ref[i, 1]
-    h02 = hom_ref[i, 2]
-    h10 = hom_ref[i, 3]
-    h11 = hom_ref[i, 4]
-    h12 = hom_ref[i, 5]
-    h20 = hom_ref[i, 6]
-    h21 = hom_ref[i, 7]
-    h22 = hom_ref[i, 8]
-    eh = ext_ref[i, 0]
-    ew = ext_ref[i, 1]
-
-    def y_scalar(vf, xf):
-        denom_u = h00 - h20 * xf
-        u_of = (xf * (h21 * vf + h22) - h01 * vf - h02) / denom_u
-        w_h = h20 * u_of + h21 * vf + h22
-        return (h10 * u_of + h11 * vf + h12) / w_h
-
-    # precompute the full inverse maps once (cheap: one pass each)
-    v = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 0).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 1).astype(jnp.float32)
-    denom_u = h00 - h20 * xs
-    u_of = (xs * (h21 * v + h22) - h01 * v - h02) / denom_u
-    w_h = h20 * u_of + h21 * v + h22
-    Y = (h10 * u_of + h11 * v + h12) / w_h
-    y_ref[:, :] = jnp.where(jnp.isfinite(Y), Y, -1e9)
-
-    for c in range(3):
-        inter_ref[c, :, :] = jnp.zeros((v_pad, src_w), jnp.float32)
-
-    # per-scanline band start from the inverse slope at mid-image
-    xm = jnp.float32(src_w // 2)
-    y0 = y_scalar(jnp.float32(0), xm)
-    slope = (y_scalar(jnp.float32(8), xm) - y0) / 8.0
-
-    def pass1_body(sy, _):
-        syf = sy.astype(jnp.float32)
-        v_c = (syf - y0) / slope
-        # dynamic sublane offsets must be 8-aligned for multi-tile loads
-        vlo = jnp.clip(v_c.astype(jnp.int32) - band // 2, 0, v_pad - band)
-        vlo = (vlo // 8) * 8
-        yb = y_ref[pl.ds(vlo, band), :]
-        w = _tri(yb - syf) * jnp.where(syf <= eh - 1, 1.0, 0.0)
-        for c in range(3):
-            row = src_ref[0, c, pl.ds(sy, 1), :].astype(jnp.float32)
-            inter_ref[c, pl.ds(vlo, band), :] = (
-                inter_ref[c, pl.ds(vlo, band), :] + w * row)
-        return 0
-
-    jax.lax.fori_loop(0, src_h, pass1_body, 0)
-
-    for c in range(3):
-        intert_ref[c, :, :] = jnp.transpose(inter_ref[c, :, :])
-
-    # pass 2 (transposed accumulation), banded over u; rows are padded to
-    # u_pad so the 8-aligned band clamp can still cover the last column
-    u_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 0).astype(jnp.float32)
-    v_t = jax.lax.broadcasted_iota(jnp.int32, (u_pad, v_pad), 1).astype(jnp.float32)
-    w_x = h20 * u_t + h21 * v_t + h22
-    X_t = (h00 * u_t + h01 * v_t + h02) / w_x
-    xt_ref[:, :] = jnp.where(jnp.isfinite(X_t), X_t, -1e9)
-
-    for c in range(3):
-        outt_ref[c, :, :] = jnp.zeros((u_pad, v_pad), jnp.float32)
-
-    vm = jnp.float32(out_h // 2)
-
-    def x_scalar(uf, vf):
-        return (h00 * uf + h01 * vf + h02) / (h20 * uf + h21 * vf + h22)
-
-    x0 = x_scalar(jnp.float32(0), vm)
-    slope2 = (x_scalar(jnp.float32(8), vm) - x0) / 8.0
-
-    def pass2_body(sx, _):
-        sxf = sx.astype(jnp.float32)
-        u_c = (sxf - x0) / slope2
-        ulo = jnp.clip(u_c.astype(jnp.int32) - band // 2, 0, u_pad - band)
-        ulo = (ulo // 8) * 8
-        xb = xt_ref[pl.ds(ulo, band), :]
-        w2 = _tri(xb - sxf) * jnp.where(sxf <= ew - 1, 1.0, 0.0)
-        for c in range(3):
-            col = intert_ref[c, pl.ds(sx, 1), :]
-            outt_ref[c, pl.ds(ulo, band), :] = (
-                outt_ref[c, pl.ds(ulo, band), :] + w2 * col)
-        return 0
-
-    jax.lax.fori_loop(0, src_w, pass2_body, 0)
-
-    for c in range(3):
-        out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
-
-
 def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
                       inter_ref, intert_ref, outt_ref, *, src_hw, out_hw,
                       v_pad, u_pad, band):
@@ -270,7 +172,7 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
                   for c in range(n_ch)]
         top = eh - vlo.astype(jnp.float32)   # taps at >= top are padding
 
-        accs = [jnp.zeros((8, src_w), jnp.float32) for _ in range(3)]
+        accs = [jnp.zeros((8, src_w), jnp.float32) for _ in range(n_ch)]
         for k in range(block):               # static unroll, static offsets
             w = _tri(yb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
             for c in range(n_ch):
@@ -381,77 +283,25 @@ def band_ok_v2(homographies, src_hw, out_hw, band=32):
     return True
 
 
-def pallas_band_ok(homographies, src_hw, out_hw, band=64, margin=12):
-    """Host-side gate for the banded kernel: True when every sample's inverse
-    maps are monotone with bounded band support. numpy, O(B) scalars."""
-    import numpy as np
-
-    h = np.asarray(homographies, np.float64)
-    src_h, src_w = src_hw
-    out_h, out_w = out_hw
-
-    def y_at(hh, vf, xf):
-        denom_u = hh[0, 0] - hh[2, 0] * xf
-        if abs(denom_u) < 1e-9:
-            return np.nan
-        u_of = (xf * (hh[2, 1] * vf + hh[2, 2]) - hh[0, 1] * vf
-                - hh[0, 2]) / denom_u
-        w_h = hh[2, 0] * u_of + hh[2, 1] * vf + hh[2, 2]
-        return (hh[1, 0] * u_of + hh[1, 1] * vf + hh[1, 2]) / w_h
-
-    def x_at(hh, uf, vf):
-        return ((hh[0, 0] * uf + hh[0, 1] * vf + hh[0, 2])
-                / (hh[2, 0] * uf + hh[2, 1] * vf + hh[2, 2]))
-
-    half = band // 2 - margin
-    for hh in h:
-        xm = src_w // 2
-        y0 = y_at(hh, 0.0, xm)
-        slope = (y_at(hh, 8.0, xm) - y0) / 8.0
-        if not np.isfinite(slope) or slope <= 1e-3:
-            return False
-        # worst deviation of the true band center from the linear estimate
-        for vf in (0.0, out_h / 2, out_h - 1.0):
-            for xf in (0.0, src_w - 1.0):
-                yv = y_at(hh, vf, xf)
-                if not np.isfinite(yv):
-                    return False
-                v_est = (yv - y0) / slope
-                if abs(v_est - vf) + 2.0 / slope > half:
-                    return False
-        vm = out_h // 2
-        x0 = x_at(hh, 0.0, vm)
-        slope2 = (x_at(hh, 8.0, vm) - x0) / 8.0
-        if not np.isfinite(slope2) or slope2 <= 1e-3:
-            return False
-        for uf in (0.0, out_w - 1.0):
-            for vf in (0.0, out_h - 1.0):
-                xv = x_at(hh, uf, vf)
-                u_est = (xv - x0) / slope2
-                if abs(u_est - uf) + 2.0 / slope2 > half:
-                    return False
-    return True
-
-
 @functools.partial(jax.jit, static_argnames=('out_shape', 'interpret',
                                              'band', 'version', 'planar_in',
                                              'planar_out'))
 def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
-                             band=64, interpret=False, version=1,
+                             band=32, interpret=False, version=2,
                              planar_in=False, planar_out=False):
-    """Band-limited fused warp; gate with pallas_band_ok (version=1,
-    source-scanline iteration) or band_ok_v2 (version=2, output-tile
-    iteration — faster, see _banded_kernel_v2). planar_in=True takes
+    """Band-limited fused warp (output-tile iteration, _banded_kernel_v2);
+    gate with band_ok_v2. planar_in=True takes
     (B, C, H, W) f32 directly (the split warp's stage A emits this),
-    skipping the NHWC transpose. version=2 is channel-generic (RGB crops
-    C=3, raw-depth crops C=1); version=1 requires C=3."""
+    skipping the NHWC transpose; channel-generic (RGB crops C=3,
+    raw-depth crops C=1). The v1 source-scanline kernel (round-1, 10.4 ms
+    vs 2.6 at 256^2/bs128) was removed once v2 measured bit-exact against
+    both it and the matmul warp; `version` stays for call-site clarity."""
     if planar_in:
         b, n_ch, src_h, src_w = canvases.shape
         planar = canvases.astype(jnp.float32)
     else:
         b, src_h, src_w, n_ch = canvases.shape
         planar = jnp.transpose(canvases, (0, 3, 1, 2)).astype(jnp.float32)
-    assert version == 2 or n_ch == 3, 'v1 kernel is 3-channel only'
     out_h, out_w = out_shape
     v_pad = ((out_h + 7) // 8) * 8
 
@@ -459,8 +309,9 @@ def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
     exts = extents.reshape(b, 2).astype(jnp.float32)
 
     u_pad = ((out_w + 7) // 8) * 8
+    assert version == 2
     kernel = functools.partial(
-        _banded_kernel if version == 1 else _banded_kernel_v2,
+        _banded_kernel_v2,
         src_hw=(src_h, src_w), out_hw=(out_h, out_w), v_pad=v_pad,
         u_pad=u_pad, band=band)
     grid_spec = pltpu.PrefetchScalarGridSpec(

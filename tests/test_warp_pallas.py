@@ -60,7 +60,7 @@ def test_extent_zero_border():
 
 
 def test_banded_matches_full_kernel():
-    from pose_tpu.ops.warp_pallas import (pallas_band_ok,
+    from pose_tpu.ops.warp_pallas import (band_ok_v2,
                                           warp_batch_pallas_banded)
     rng = np.random.RandomState(4)
     imgs = rng.randint(0, 255, (2, 192, 192, 3), dtype=np.uint8)
@@ -68,20 +68,20 @@ def test_banded_matches_full_kernel():
     homs[:, 0, 0] = homs[:, 1, 1] = 192 / 129
     homs[:, 0, 1] = [0.04, -0.03]
     exts = np.tile([192, 192], (2, 1)).astype(np.int32)
-    assert pallas_band_ok(homs, (192, 192), (129, 129), band=64)
+    assert band_ok_v2(homs, (192, 192), (129, 129), band=32)
 
     full = np.asarray(warp_batch_pallas(jnp.asarray(imgs), jnp.asarray(homs),
                                         jnp.asarray(exts), (129, 129),
                                         interpret=True))
     band = np.asarray(warp_batch_pallas_banded(
         jnp.asarray(imgs), jnp.asarray(homs), jnp.asarray(exts), (129, 129),
-        band=64, interpret=True))
+        band=32, interpret=True))
     np.testing.assert_allclose(band, full, atol=1e-3)
 
 
 def test_band_ok_rejects_rotation():
-    from pose_tpu.ops.warp_pallas import pallas_band_ok
+    from pose_tpu.ops.warp_pallas import band_ok_v2
     # a 45-degree-ish rotation exceeds any reasonable band
     c, s = np.cos(0.8), np.sin(0.8)
     hom = np.array([[c, -s, 50], [s, c, -30], [0, 0, 1]], np.float32)[None]
-    assert not pallas_band_ok(hom, (384, 384), (257, 257), band=64)
+    assert not band_ok_v2(hom, (384, 384), (257, 257), band=32)
