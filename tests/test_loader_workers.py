@@ -1,0 +1,50 @@
+"""Multi-producer loader: `-workers N` runs N batch-builder threads with a
+reorder buffer (torch DataLoader num_workers analogue, datasets.py:5). The
+batch stream — including every RNG draw — must be identical to the
+single-producer stream."""
+
+import types
+
+import numpy as np
+import pytest
+
+
+def make_args(metadata_path, workers):
+    return types.SimpleNamespace(
+        criterion='SmoothL1', half_acc=False, depth=4, num_joints=19,
+        depth_range=1000.0, side_in=65, stride=32, grad_norm=5.0,
+        weight_decay=4e-5, loss_div=10.0, learn_rate=1e-4, n_epochs=1,
+        do_track=False, joint_space=True, extra_channel=True, shuffle=True,
+        geometry=True, colour=True, eraser=False, occluder=False,
+        occ_path=None, occ_count=0, batch_size=4, data_name='cmu',
+        metadata_path=metadata_path, random_zoom=0.9, n_cudas=1,
+        workers=workers)
+
+
+@pytest.fixture(scope='module')
+def cmu(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_cmu_fixture
+    root = tmp_path_factory.mktemp('cmu_workers')
+    return make_cmu_fixture(str(root), num_train=13, num_valid=4)
+
+
+def _epoch(meta, workers, epochs=2):
+    from pose_tpu.data.loader import PoseLoader
+    from datasets import build_info
+    loader = PoseLoader(make_args(meta, workers), 'train', build_info('cmu'))
+    out = []
+    for _ in range(epochs):              # 2 epochs: order reshuffles, RNG
+        for batch in loader:             # draws advance with the epoch
+            out.append({k: np.asarray(v) for k, v in batch.items()
+                        if k != '_true_size'})
+    return out
+
+
+def test_multi_producer_stream_identical(cmu):
+    single = _epoch(cmu, workers=1)
+    multi = _epoch(cmu, workers=3)
+    assert len(single) == len(multi)
+    for a, b in zip(single, multi):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
