@@ -427,6 +427,15 @@ def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
         homographies.astype(jnp.float32), out_shape, m)
     full = jnp.tile(jnp.asarray([m, m], jnp.int32), (b, 1))
     if stage_b == 'pallas':
+        # the whole warp as one VMEM-resident kernel: stage A's matmuls run
+        # on the MXU inside it (no HBM intermediate, no layout copies)
+        from .warp_pallas import warp_batch_split_pallas
+        return warp_batch_split_pallas(images, residual, scale, extents,
+                                       out_shape, m, band=band,
+                                       interpret=interpret,
+                                       planar_out=planar_out,
+                                       post_scale=post, wdtype=wdtype)
+    if stage_b == 'pallas2':
         from .warp_pallas import warp_batch_pallas_banded
         inter = jax.vmap(lambda im, sc, ex: _scale_resample_single_planar(
             im, sc, ex, m, wdtype, post))(images, scale, extents)

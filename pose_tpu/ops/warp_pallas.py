@@ -127,21 +127,27 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
     Channel-generic: the loop count comes from the src block's static shape
     (RGB crops use 3, raw-depth crops 1)."""
     src_h, src_w = src_hw
-    out_h, out_w = out_hw
     n_ch = src_ref.shape[1]
-
     i = pl.program_id(0)
-    h00 = hom_ref[i, 0]
-    h01 = hom_ref[i, 1]
-    h02 = hom_ref[i, 2]
-    h10 = hom_ref[i, 3]
-    h11 = hom_ref[i, 4]
-    h12 = hom_ref[i, 5]
-    h20 = hom_ref[i, 6]
-    h21 = hom_ref[i, 7]
-    h22 = hom_ref[i, 8]
+    hvals = tuple(hom_ref[i, k] for k in range(9))
     eh = ext_ref[i, 0]
     ew = ext_ref[i, 1]
+    src_read = lambda c, lo, size: src_ref[0, c, pl.ds(lo, size), :].astype(
+        jnp.float32)
+    _banded_core(hvals, eh, ew, src_read, n_ch, out_ref, y_ref, xt_ref,
+                 inter_ref, intert_ref, outt_ref, src_hw=src_hw,
+                 out_hw=out_hw, v_pad=v_pad, u_pad=u_pad, band=band)
+
+
+def _banded_core(hvals, eh, ew, src_read, n_ch, out_ref, y_ref, xt_ref,
+                 inter_ref, intert_ref, outt_ref, *, src_hw, out_hw, v_pad,
+                 u_pad, band):
+    """The output-tile banded two-pass body shared by _banded_kernel_v2 and
+    _split_kernel. `src_read(c, lo, size)` returns a (size, src_w) f32 row
+    block (8-aligned lo); `hvals` is the flattened out->src homography."""
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+    h00, h01, h02, h10, h11, h12, h20, h21, h22 = hvals
 
     def y_scalar(vf, xf):
         denom_u = h00 - h20 * xf
@@ -149,7 +155,7 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         w_h = h20 * u_of + h21 * vf + h22
         return (h10 * u_of + h11 * vf + h12) / w_h
 
-    # full inverse row map, one vectorized pass (as v1)
+    # full inverse row map, one vectorized pass
     v = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 0).astype(jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (v_pad, src_w), 1).astype(jnp.float32)
     denom_u = h00 - h20 * xs
@@ -168,8 +174,7 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         vlo = jnp.clip(y_c.astype(jnp.int32) - band // 2, 0, src_h - block)
         vlo = (vlo // 8) * 8                 # aligned whole-block read below
         yb = y_ref[pl.ds(8 * t, 8), :] - vlo.astype(jnp.float32)  # (8, src_w)
-        blocks = [src_ref[0, c, pl.ds(vlo, block), :].astype(jnp.float32)
-                  for c in range(n_ch)]
+        blocks = [src_read(c, vlo, block) for c in range(n_ch)]
         top = eh - vlo.astype(jnp.float32)   # taps at >= top are padding
 
         accs = [jnp.zeros((8, src_w), jnp.float32) for _ in range(n_ch)]
@@ -208,7 +213,7 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
         blocks = [intert_ref[c, pl.ds(xlo, block), :] for c in range(n_ch)]
         top = ew - xlo.astype(jnp.float32)
 
-        accs = [jnp.zeros((8, v_pad), jnp.float32) for _ in range(3)]
+        accs = [jnp.zeros((8, v_pad), jnp.float32) for _ in range(n_ch)]
         for k in range(block):
             w2 = _tri(xb - k) * jnp.where(k <= top - 1, 1.0, 0.0)
             for c in range(n_ch):
@@ -221,6 +226,58 @@ def _banded_kernel_v2(hom_ref, ext_ref, src_ref, out_ref, y_ref, xt_ref,
 
     for c in range(n_ch):
         out_ref[0, c, :, :] = jnp.transpose(outt_ref[c, :, :])[:out_h, :out_w]
+
+
+def _split_kernel(scal_ref, src_ref, out_ref, y_ref, xt_ref, a_ref,
+                  inter_ref, intert_ref, outt_ref, *, src_hw, m, out_hw,
+                  v_pad, u_pad, band, post_scale, wdtype):
+    """The WHOLE split warp as one VMEM-resident kernel: stage A's two
+    axis-aligned resampling matmuls run on the MXU inside the kernel (the
+    uint8 canvas block is the only HBM read, the crop plane the only write —
+    the (B, 3, m, m) stage-A intermediate never touches HBM, and the layout
+    copies XLA inserted around the two-op version disappear), then the
+    banded residual core consumes the in-VMEM intermediate.
+
+    scal_ref rows: [R (9) | ystep ystart xstep xstart | eh ew]."""
+    src_h, src_w = src_hw
+    n_ch = src_ref.shape[1]
+    i = pl.program_id(0)
+    hvals = tuple(scal_ref[i, k] for k in range(9))
+    ystep, ystart = scal_ref[i, 9], scal_ref[i, 10]
+    xstep, xstart = scal_ref[i, 11], scal_ref[i, 12]
+    eh, ew = scal_ref[i, 13], scal_ref[i, 14]
+
+    # stage A: (m, src_h) @ (src_h, src_w) then contract columns -> (m, m)
+    p1 = jax.lax.broadcasted_iota(jnp.int32, (m, src_h), 0).astype(jnp.float32)
+    sy = jax.lax.broadcasted_iota(jnp.int32, (m, src_h), 1).astype(jnp.float32)
+    w1 = (_tri(ystart + p1 * ystep - sy)
+          * jnp.where(sy <= eh - 1.0, 1.0, 0.0)).astype(wdtype)
+    p2 = jax.lax.broadcasted_iota(jnp.int32, (m, src_w), 0).astype(jnp.float32)
+    sx = jax.lax.broadcasted_iota(jnp.int32, (m, src_w), 1).astype(jnp.float32)
+    w2 = (_tri(xstart + p2 * xstep - sx)
+          * jnp.where(sx <= ew - 1.0, 1.0, 0.0)).astype(wdtype)
+
+    for c in range(n_ch):
+        # Mosaic has no direct uint8->bf16 cast; go through int32 (exact
+        # for pixel values, and int32->bf16 is supported)
+        srcc = src_ref[0, c, :, :]
+        if srcc.dtype == jnp.uint8:
+            srcc = srcc.astype(jnp.int32)
+        srcc = srcc.astype(wdtype)
+        t1 = jax.lax.dot_general(
+            w1, srcc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (m, src_w)
+        a_c = jax.lax.dot_general(
+            t1.astype(wdtype), w2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (m, m)
+        a_ref[c, :, :] = a_c * post_scale
+
+    src_read = lambda c, lo, size: a_ref[c, pl.ds(lo, size), :]
+    _banded_core(hvals, jnp.float32(m), jnp.float32(m), src_read, n_ch,
+                 out_ref, y_ref, xt_ref, inter_ref, intert_ref, outt_ref,
+                 src_hw=(m, m), out_hw=out_hw, v_pad=v_pad, u_pad=u_pad,
+                 band=band)
 
 
 def band_ok_v2(homographies, src_hw, out_hw, band=32):
@@ -339,6 +396,62 @@ def warp_batch_pallas_banded(canvases, homographies, extents, out_shape,
         out_shape=jax.ShapeDtypeStruct((b, n_ch, out_h, out_w), jnp.float32),
         interpret=interpret,
     )(homs, exts, planar)
+    if planar_out:
+        return out
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=('out_shape', 'm', 'band',
+                                             'interpret', 'planar_out',
+                                             'post_scale', 'wdtype'))
+def warp_batch_split_pallas(canvases, residual, scale, extents, out_shape,
+                            m, band=32, interpret=False, planar_out=False,
+                            post_scale=1.0, wdtype=jnp.bfloat16):
+    """Single-kernel split warp (see _split_kernel): NHWC uint8/float
+    canvases + per-image residual homography and axis-aligned scale params
+    (from ops.warp.decompose_homography) -> (B, out, out, C) f32 crops
+    (or (B, C, out, out) with planar_out). Gate with the same band_ok_v2
+    bound on the residual as the two-op path."""
+    b, src_h, src_w, n_ch = canvases.shape
+    out_h, out_w = out_shape
+    v_pad = ((out_h + 7) // 8) * 8
+    u_pad = ((out_w + 7) // 8) * 8
+
+    planar = jnp.transpose(canvases, (0, 3, 1, 2))   # dtype preserved
+    scal = jnp.concatenate([
+        residual.reshape(b, 9).astype(jnp.float32),
+        scale.reshape(b, 4).astype(jnp.float32),
+        extents.reshape(b, 2).astype(jnp.float32)], axis=1)
+
+    kernel = functools.partial(
+        _split_kernel, src_hw=(src_h, src_w), m=m, out_hw=(out_h, out_w),
+        v_pad=v_pad, u_pad=u_pad, band=band, post_scale=post_scale,
+        wdtype=wdtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_ch, src_h, src_w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_ch, out_h, out_w),
+                               lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v_pad, m), jnp.float32),             # Y
+            pltpu.VMEM((u_pad, v_pad), jnp.float32),         # X_t
+            pltpu.VMEM((n_ch, m, m), jnp.float32),           # stage-A out
+            pltpu.VMEM((n_ch, v_pad, m), jnp.float32),       # inter
+            pltpu.VMEM((n_ch, m, v_pad), jnp.float32),       # inter_t
+            pltpu.VMEM((n_ch, u_pad, v_pad), jnp.float32),   # out_t
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_ch, out_h, out_w), jnp.float32),
+        interpret=interpret,
+    )(scal, planar)
     if planar_out:
         return out
     return jnp.transpose(out, (0, 2, 3, 1))

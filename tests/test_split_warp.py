@@ -123,6 +123,20 @@ class TestSplitWarp:
             self.ext, m=self.m, band=32, stage_b='mxu'))
         np.testing.assert_allclose(sp_u8, sp_f, atol=1e-5)
 
+    def test_uint8_through_fused_kernel(self):
+        """The single-kernel path reads the uint8 canvas block directly
+        (int32-hop cast inside the kernel); values must match the float
+        feed through the same kernel."""
+        u8 = np.asarray(self.imgs * 255).astype(np.uint8)
+        k_u8 = np.asarray(warp.warp_batch_split(
+            jnp.asarray(u8), jnp.asarray(self.homs), (self.out, self.out),
+            self.ext, m=self.m, band=32, interpret=True))
+        k_f = np.asarray(warp.warp_batch_split(
+            jnp.asarray(u8.astype(np.float32) / 255.0),
+            jnp.asarray(self.homs), (self.out, self.out),
+            self.ext, m=self.m, band=32, interpret=True))
+        np.testing.assert_allclose(k_u8, k_f, atol=1e-5)
+
     def test_gate_accepts_crop_cameras_rejects_strong_rotation(self):
         # defaults derive (m, band) from out_shape (split_defaults)
         assert warp.split_band_ok(self.homs, (self.out, self.out))
