@@ -149,6 +149,41 @@ class TestSplitWarp:
         assert not warp.split_band_ok(bad[None], (self.out, self.out))
 
 
+class TestGateSoundness:
+    def test_gate_accept_implies_kernel_matches_exact_path(self):
+        """Property test over a distribution WIDER than the loader's: any
+        homography the gate accepts must produce (fused Pallas kernel,
+        interpret) == (exact two-pass matmul split) to f32 tolerance. The
+        band bound is the correctness-critical piece of the split path —
+        an unsound gate would silently corrupt training crops."""
+        rng = np.random.RandomState(7)
+        s, out, m, band = 96, 49, 48, 32
+        img = jnp.asarray(smooth_image(s)[None])
+        ext = jnp.asarray(np.array([[s, s]], np.int32))
+        accepted = 0
+        for trial in range(40):
+            h = crop_hom(
+                s, out,
+                zoom=rng.uniform(0.7, 1.4),
+                th=rng.uniform(-0.45, 0.45),
+                tx=rng.uniform(-5, 20), ty=rng.uniform(-5, 20),
+                p=rng.uniform(-3e-3, 3e-3))
+            if not warp.split_band_ok(h[None], (out, out), m=m, band=band):
+                continue
+            accepted += 1
+            pal = np.asarray(warp.warp_batch_split(
+                img, jnp.asarray(h[None]), (out, out), ext, m=m,
+                band=band, interpret=True))
+            mxu = np.asarray(warp.warp_batch_split(
+                img, jnp.asarray(h[None]), (out, out), ext, m=m,
+                band=band, stage_b='mxu'))
+            np.testing.assert_allclose(
+                pal, mxu, atol=1e-4,
+                err_msg=f'gate-accepted hom diverged (trial {trial}): {h}')
+        # the distribution must actually exercise the gate both ways
+        assert 5 <= accepted <= 39
+
+
 class TestLoaderWiring:
     def test_train_batch_through_split_impl(self, tmp_path, monkeypatch):
         from pose_tpu.data.synthetic import make_cmu_fixture
