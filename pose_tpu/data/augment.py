@@ -189,6 +189,10 @@ def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
         crops = warp.warp_batch_split(
             canvases, homographies, (side_in, side_in), extents,
             stage_b='pallas' if warp_impl == 'split' else 'mxu')
+    elif warp_impl == 'pallas_banded':
+        from ..ops.warp_pallas import warp_batch_pallas_banded
+        crops = warp_batch_pallas_banded(canvases, homographies, extents,
+                                         (side_in, side_in))
     elif warp_impl == 'mxu':
         crops = warp.warp_batch_mxu(canvases, homographies,
                                     (side_in, side_in), extents)

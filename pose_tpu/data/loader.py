@@ -246,11 +246,14 @@ class PoseLoader:
         return out, [s['image'] for s in samples]
 
     @staticmethod
-    def _scale_lookup_batch(batch, prescales):
-        """Vectorized crop.scale_lookup over per-sample decode prescales."""
+    def _scale_lookup_batch(batch, prescales, key=None):
+        """Vectorized crop.scale_lookup over per-sample decode prescales.
+        `key` names the lookup matrix to fold the prescale into (default:
+        the colour stream's homography/intrinsics)."""
         if not np.any(prescales != 1.0):
             return
-        key = 'homography' if 'homography' in batch else 'old_intrinsics'
+        if key is None:
+            key = 'homography' if 'homography' in batch else 'old_intrinsics'
         batch[key] = np.array(batch[key], np.float32)
         batch[key][:, :2] *= prescales[:, None, None]
 
@@ -290,14 +293,20 @@ class PoseLoader:
         self._scale_lookup_batch(batch, np.asarray(prescales, np.float32))
         return batch
 
-    def _gated_impl(self, homographies):
+    def _gated_impl(self, homographies, src_hw=None):
         """Per-batch resampler choice: the banded implementations carry
         host-side support gates and fall back to the exact mxu path when a
-        batch's homographies violate them."""
+        batch's homographies violate them. Call with the HOST (numpy)
+        homographies before shard_batch — gating on the device copy would
+        force a device->host fetch (and through a remote transport, a full
+        sync) on every training batch. `src_hw` is the source-canvas shape
+        the banded gate validates against (defaults to the colour canvas;
+        the depth stream passes its own)."""
         impl = self.eval_warp_impl if self.at_test else self.warp_impl
         if impl == 'pallas_banded':
             from ..ops.warp_pallas import band_ok_v2
-            if not band_ok_v2(np.asarray(homographies), self.canvas,
+            if not band_ok_v2(np.asarray(homographies),
+                              src_hw or self.canvas,
                               (self.side_in, self.side_in)):
                 impl = 'mxu'
         elif impl in ('split', 'split_mxu'):
@@ -343,6 +352,7 @@ class PoseLoader:
                 self.colour, self.eraser,
                 occ_bank=self._occ_bank)
         else:
+            host_homs = batch['homography']
             device = shard_batch(self.mesh, {
                 'canvas': batch.pop('canvas'),
                 'homography': batch.pop('homography'),
@@ -356,7 +366,7 @@ class PoseLoader:
             else:
                 # train uses the configured resampler (default: MXU two-pass);
                 # eval defaults to the gather path for strict cv2 parity
-                impl = self._gated_impl(device['homography'])
+                impl = self._gated_impl(host_homs)
                 image = augment.process_color_batch(
                     device['canvas'], device['homography'], device['extent'],
                     key, self.side_in, self.colour, self.eraser,
@@ -381,9 +391,15 @@ class PoseLoader:
 
         if n_workers == 1:
             def produce(q):
-                for i_batch, idxs in enumerate(batches):
-                    q.put((i_batch, self._decode_batch(idxs)))
-                q.put(None)
+                # a raising _decode_batch (e.g. one corrupt JPEG) must
+                # surface in the consumer, not die silently in the daemon
+                # thread and leave the training loop blocked on q.get()
+                try:
+                    for i_batch, idxs in enumerate(batches):
+                        q.put((i_batch, self._decode_batch(idxs)))
+                    q.put(None)
+                except BaseException as e:
+                    q.put(e)
 
             q = queue.Queue(maxsize=2)
             thread = threading.Thread(target=produce, args=(q,),
@@ -393,6 +409,8 @@ class PoseLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 i_batch, batch = item
                 yield self._finalize(batch, i_batch)
         else:
@@ -420,10 +438,17 @@ class PoseLoader:
                         if i >= len(batches):
                             return
                         next_idx[0] = i + 1
-                    batch = self._decode_batch(batches[i])
+                    try:
+                        batch = self._decode_batch(batches[i])
+                    except BaseException as e:
+                        # deliver the error at this batch's slot so the
+                        # consumer raises instead of waiting forever
+                        batch = e
                     with lock:
                         ready[i] = batch
                         avail.notify_all()
+                        if isinstance(batch, BaseException):
+                            return
 
             threads = [threading.Thread(target=produce, daemon=True)
                        for _ in range(n_workers)]
@@ -435,6 +460,8 @@ class PoseLoader:
                         avail.wait()
                     batch = ready.pop(i_batch)
                     avail.notify_all()
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield self._finalize(batch, i_batch)
 
         if not self.at_test:
@@ -537,11 +564,8 @@ class DepthPoseLoader(PoseLoader):
         self._scale_lookup_batch(batch, np.asarray(prescales, np.float32))
         batch['depth_canvas'] = dcanvases
         batch['depth_extent'] = np.asarray(dextents)
-        dprescales = np.asarray(dprescales, np.float32)
-        if np.any(dprescales != 1.0):
-            batch['depth_homography'] = np.array(batch['depth_homography'],
-                                                 np.float32)
-            batch['depth_homography'][:, :2] *= dprescales[:, None, None]
+        self._scale_lookup_batch(batch, np.asarray(dprescales, np.float32),
+                                 key='depth_homography')
         return batch
 
     def viz(self, args, batch_file='./batch.npy'):
@@ -644,6 +668,7 @@ class DepthPoseLoader(PoseLoader):
                 key, self.side_in, self.colour, self.eraser,
                 occ_bank=self._occ_bank)
         else:
+            host_homs = batch['homography']
             color_dev = shard_batch(self.mesh, {
                 'canvas': batch.pop('canvas'),
                 'homography': batch.pop('homography'),
@@ -659,8 +684,9 @@ class DepthPoseLoader(PoseLoader):
                     color_dev['canvas'], color_dev['homography'],
                     color_dev['extent'], key, self.side_in, self.colour,
                     self.eraser,
-                    warp_impl=self._gated_impl(color_dev['homography']))
+                    warp_impl=self._gated_impl(host_homs))
 
+        host_depth_homs = batch['depth_homography']
         depth_dev = shard_batch(self.mesh, {
             'canvas': batch.pop('depth_canvas'),
             'homography': batch.pop('depth_homography'),
@@ -672,7 +698,8 @@ class DepthPoseLoader(PoseLoader):
             depth_impl = ('mxu' if self.eval_warp_impl == 'mxu'
                           else 'gather')
         else:
-            depth_impl = self._gated_impl(depth_dev['homography'])
+            depth_impl = self._gated_impl(host_depth_homs,
+                                          src_hw=self.depth_canvas)
         depth = augment.process_depth_batch(
             depth_dev['canvas'], depth_dev['homography'], depth_dev['extent'],
             depth_dev['k_inv'], shard_batch(self.mesh, thresh), self.side_in,

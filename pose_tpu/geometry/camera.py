@@ -276,6 +276,10 @@ def triangulate(cameras, pointlists):
     cameralib.py:530-547)."""
     pairs = [undistort_points(c, np.asarray(p, np.float64))
              for c, p in zip(cameras, pointlists)]
+    if len(pairs) < 2:
+        # one view gives a 2x4 system with a 2-dim null space: vh[:, -1]
+        # would silently return an arbitrary point on the viewing ray
+        raise Exception('Triangulation needs at least two views.')
     if len({len(p) for _, p in pairs}) != 1:
         raise Exception('Every view must supply one 2D point per 3D point.')
     proj = np.stack([c.get_projection_matrix() for c, _ in pairs])  # (V,3,4)

@@ -205,12 +205,16 @@ class BatchingServer:
             items = self._collect()
             if items is None:
                 return
-            crops = np.stack([c for c, _ in items])
             n = len(items)
-            if n < self.batch_size:
-                pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
-                crops = np.concatenate([crops, pad])
             try:
+                # assembly is inside the try: a malformed request (wrong
+                # crop shape, non-array) must resolve the batch's futures
+                # with the error, not kill the worker thread and wedge
+                # every later submit()
+                crops = np.stack([c for c, _ in items])
+                if n < self.batch_size:
+                    pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
+                    crops = np.concatenate([crops, pad])
                 out = compiled(self.predictor.variables, jnp.asarray(crops))
                 host = jax.tree_util.tree_map(np.asarray, out)
                 for i, (_, fut) in enumerate(items):

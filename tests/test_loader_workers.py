@@ -70,3 +70,27 @@ def test_eval_warp_mxu_close_to_gather(cmu, monkeypatch):
         # ~ 0.009 normalized
         assert d.mean() < 0.01
         assert np.median(d) < 0.005
+
+
+@pytest.mark.parametrize('workers', [1, 3])
+def test_producer_error_propagates(cmu, monkeypatch, workers):
+    """A raising _decode_batch (e.g. one corrupt JPEG in the store) must
+    surface as an exception in the consuming training loop — not die in the
+    daemon producer thread and leave the consumer blocked forever."""
+    from pose_tpu.data.loader import PoseLoader
+    from datasets import build_info
+
+    loader = PoseLoader(make_args(cmu, workers), 'train', build_info('cmu'))
+    real = PoseLoader._decode_batch
+    calls = {'n': 0}
+
+    def failing(self, idxs):
+        calls['n'] += 1
+        if calls['n'] == 2:
+            raise IOError('decode failed: corrupt image')
+        return real(self, idxs)
+
+    monkeypatch.setattr(PoseLoader, '_decode_batch', failing)
+    with pytest.raises(IOError, match='corrupt image'):
+        for _ in loader:
+            pass

@@ -104,3 +104,20 @@ class TestBatchingServer:
         server.stop()
         with pytest.raises(RuntimeError):
             server.submit(np.zeros((65, 65, 3), np.float32))
+
+
+def test_malformed_request_resolves_not_wedges():
+    """A wrong-shape crop must resolve its future with the error and leave
+    the worker alive for later requests (batch assembly happens inside the
+    resolve-don't-wedge handler)."""
+    from pose_tpu.serve import BatchingServer
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    with BatchingServer(p, max_delay_ms=5.0) as server:
+        bad = server.submit(np.zeros((3, 3), np.float32))   # not a crop
+        with pytest.raises(Exception):
+            bad.result(timeout=60)
+        good = server.predict(
+            np.random.RandomState(0).randn(65, 65, 3).astype(np.float32),
+            timeout=60)
+        assert np.all(np.isfinite(good['relat_cam']))
