@@ -320,3 +320,44 @@ class TestDistillTeacherBN:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
             new_teacher_vars['batch_stats'], old_stats)
+
+
+class TestConvergence:
+    def test_cam_step_overfits_fixed_batch(self):
+        """System-level learning evidence: Adam on one fixed batch
+        must steadily overfit (110 steps of Adam at
+        5e-4; final loss well under half the initial). Exercises the full
+        forward/decode/loss/backward/update loop end-to-end — a wiring bug
+        anywhere (stale batch_stats, wrong gradient sign, decode offset)
+        shows up as a flat or rising curve."""
+        from pose_tpu.serve import default_args
+        from pose_tpu.models import build_model
+
+        args = default_args(model='resnet18', side_in=65, stride=32,
+                            depth=4, num_joints=5, half_acc=False,
+                            joint_space=False, criterion='SmoothL1',
+                            grad_norm=5.0, weight_decay=4e-5, loss_div=10.0)
+        model = build_model(args, 'rgb')
+        tx = steps.make_optimizer(args)
+        state = steps.init_state(model, args, tx,
+                                 (jnp.ones((1, 65, 65, 3)),))
+        step = steps.make_cam_train_step(model, args, 2, tx)
+
+        rng = np.random.RandomState(0)
+        batch = dict(
+            image=jnp.asarray(rng.randn(4, 65, 65, 3).astype(np.float32)),
+            true_cam=jnp.asarray(
+                rng.uniform(-300, 300, (4, 5, 3)).astype(np.float32) + 2500),
+            true_val=jnp.ones((4, 5), bool))
+
+        history = []
+        for i in range(110):
+            state, out = step(state, batch, 5e-4)
+            history.append(float(out['cam_loss']))
+        assert np.isfinite(history).all()
+        # steady decline: each third of the run must improve on the last,
+        # and the end must sit well under half of the start (measured run:
+        # 150 -> 55 on this seed)
+        thirds = [np.mean(history[i:i + 36]) for i in (0, 37, 74)]
+        assert thirds[0] > thirds[1] > thirds[2], thirds
+        assert history[-1] < 0.45 * history[0], history[::10]
