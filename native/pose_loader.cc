@@ -185,14 +185,17 @@ void decode_into_slot(Loader* loader, const char* path, uint8_t* out_slot,
   const int cw = loader->canvas_w;
   float scale = 1.0f;
   if (h > ch || w > cw) {
-    scale = std::min(static_cast<float>(ch) / h,
-                     static_cast<float>(cw) / w);
-    const int nh = std::max(1, static_cast<int>(h * scale));
-    const int nw = std::max(1, static_cast<int>(w * scale));
+    // double-precision size math so nh/nw match the numpy fallback
+    // (crop.pad_to_canvas computes in float64) on exact-ratio sources
+    const double s = std::min(static_cast<double>(ch) / h,
+                              static_cast<double>(cw) / w);
+    const int nh = std::max(1, static_cast<int>(h * s));
+    const int nw = std::max(1, static_cast<int>(w * s));
     std::vector<uint8_t> scaled;
     area_downscale(pixels, h, w, nh, nw, &scaled);
     // fold the realized (integer-rounded) scale back
-    scale = 0.5f * (static_cast<float>(nh) / h + static_cast<float>(nw) / w);
+    scale = 0.5f * (static_cast<float>(static_cast<double>(nh) / h +
+                                       static_cast<double>(nw) / w));
     pixels.swap(scaled);
     h = nh;
     w = nw;
@@ -275,7 +278,16 @@ bool decode_png_gray(const char* path, std::vector<float>* pixels,
   }
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
+  if (!png) {
+    std::fclose(file);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(file);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(file);
@@ -338,20 +350,44 @@ void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
   }
   const int ch = loader->canvas_h;
   const int cw = loader->canvas_w;
-  // depth canvases must not be resampled (raw sensor values); oversized
-  // frames are center-cropped never in practice — report prescale 1 and clip
-  const int eh = std::min(h, ch);
-  const int ew = std::min(w, cw);
+  float scale = 1.0f;
+  if (h > ch || w > cw) {
+    // nearest-subsample (NOT area-average: averaging depth across object
+    // boundaries fabricates sensor values that exist nowhere in the scene);
+    // matches pose_tpu.data.crop.pad_to_canvas's float path bit-for-bit
+    // (double-precision index math, floor) and reports the realized
+    // prescale for the caller to fold into depth_homography.
+    const double s = std::min(static_cast<double>(ch) / h,
+                              static_cast<double>(cw) / w);
+    const int nh = std::max(1, static_cast<int>(h * s));
+    const int nw = std::max(1, static_cast<int>(w * s));
+    std::vector<float> scaled(static_cast<size_t>(nh) * nw);
+    for (int y = 0; y < nh; ++y) {
+      int sy = static_cast<int>(static_cast<double>(y) * h / nh);
+      if (sy >= h) sy = h - 1;
+      for (int x = 0; x < nw; ++x) {
+        int sx = static_cast<int>(static_cast<double>(x) * w / nw);
+        if (sx >= w) sx = w - 1;
+        scaled[static_cast<size_t>(y) * nw + x] =
+            pixels[static_cast<size_t>(sy) * w + sx];
+      }
+    }
+    scale = 0.5f * (static_cast<float>(static_cast<double>(nh) / h +
+                                       static_cast<double>(nw) / w));
+    pixels.swap(scaled);
+    h = nh;
+    w = nw;
+  }
   std::memset(out_slot, 0, sizeof(float) * static_cast<size_t>(ch) * cw);
-  for (int y = 0; y < eh; ++y) {
+  for (int y = 0; y < h; ++y) {
     std::memcpy(out_slot + static_cast<size_t>(y) * cw,
                 pixels.data() + static_cast<size_t>(y) * w,
-                sizeof(float) * ew);
+                sizeof(float) * w);
   }
-  extent[0] = eh;
-  extent[1] = ew;
-  *prescale = 1.0f;
-  *status = (h > ch || w > cw) ? 2 : 0;  // 2 = clipped (caller may warn)
+  extent[0] = h;
+  extent[1] = w;
+  *prescale = scale;
+  *status = 0;
 }
 
 }  // namespace
@@ -359,8 +395,8 @@ void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
 extern "C" {
 
 // Decode a batch of grayscale PNG paths into out (n, canvas_h, canvas_w)
-// float32 canvases. Returns the number of hard failures (clipped frames
-// count as success).
+// float32 canvases (oversized frames nearest-subsampled with the realized
+// prescale reported). Returns the number of decode failures.
 int pl_decode_png_batch(void* handle, const char** paths, int n, float* out,
                         int32_t* extents, float* prescales) {
   Loader* loader = static_cast<Loader*>(handle);

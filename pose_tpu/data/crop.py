@@ -159,11 +159,44 @@ def transform_gt(sample_camera, new_cam, world_coords, valid, mirror, do_flip,
     return camera_coords.astype(np.float32), valid, back_rotate
 
 
+def _area_downscale_u8(image, dh, dw):
+    """Integer box-average downscale twin of native/pose_loader.cc
+    `area_downscale` (float32 box-boundary math, truncating integer mean),
+    so the Python fallback and the C++ JPEG pool produce identical
+    canvases for the same oversized source."""
+    sh, sw = image.shape[:2]
+    fy = np.float32(sh) / np.float32(dh)
+    fx = np.float32(sw) / np.float32(dw)
+    iy = np.arange(dh, dtype=np.float32)
+    y0 = (iy * fy).astype(np.int64)
+    y1 = np.minimum(np.maximum(((iy + np.float32(1)) * fy).astype(np.int64),
+                               y0 + 1), sh)
+    ix = np.arange(dw, dtype=np.float32)
+    x0 = (ix * fx).astype(np.int64)
+    x1 = np.minimum(np.maximum(((ix + np.float32(1)) * fx).astype(np.int64),
+                               x0 + 1), sw)
+    cs = np.zeros((sh + 1,) + image.shape[1:], np.int64)
+    np.cumsum(image, axis=0, out=cs[1:])
+    rows = cs[y1] - cs[y0]                               # (dh, sw, c)
+    cs2 = np.zeros((dh, sw + 1) + image.shape[2:], np.int64)
+    np.cumsum(rows, axis=1, out=cs2[:, 1:])
+    boxes = cs2[:, x1] - cs2[:, x0]                      # (dh, dw, c)
+    counts = (np.maximum(y1 - y0, 0)[:, None]
+              * np.maximum(x1 - x0, 0)[None, :])[..., None]
+    return np.where(counts > 0, boxes // np.maximum(counts, 1),
+                    0).astype(np.uint8)
+
+
 def pad_to_canvas(image, canvas_hw):
     """Zero-pad a (h, w, c) image onto a fixed canvas, returning the canvas
     and the true (h, w) extent. Oversized images are downscaled about the
-    origin first (equivalently: the homography is pre-scaled) so no pixels are
-    lost; the caller folds `prescale` into the homography."""
+    origin first (equivalently: the homography is pre-scaled) so no pixels
+    are lost; the caller folds `prescale` into the homography.
+
+    Downscale semantics match the native pools per dtype: uint8 (colour)
+    gets the C++ JPEG pool's integer box average; float (raw depth) gets
+    nearest subsampling — averaging depth across object boundaries would
+    fabricate sensor values — matching the C++ PNG pool."""
     ch, cw = canvas_hw
     h, w = image.shape[:2]
     prescale = 1.0
@@ -171,14 +204,15 @@ def pad_to_canvas(image, canvas_hw):
         prescale = min(ch / h, cw / w)
         new_h = max(1, int(np.floor(h * prescale)))
         new_w = max(1, int(np.floor(w * prescale)))
-        prescale_y = new_h / h
-        prescale_x = new_w / w
-        # area-average downscale on host (rare path: canvas fits the sample
-        # stores produced by the offline tools)
-        ys = (np.arange(new_h) / prescale_y).astype(np.int32)
-        xs = (np.arange(new_w) / prescale_x).astype(np.int32)
-        image = image[ys][:, xs]
-        prescale = (prescale_x + prescale_y) / 2
+        if image.dtype == np.uint8:
+            image = _area_downscale_u8(image, new_h, new_w)
+        else:
+            # (y*h)/nh in float64 — the exact expression the C++ PNG pool
+            # evaluates, so the two paths floor identically
+            ys = (np.arange(new_h) * h / new_h).astype(np.int64)
+            xs = (np.arange(new_w) * w / new_w).astype(np.int64)
+            image = image[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
+        prescale = (new_h / h + new_w / w) / 2
         h, w = image.shape[:2]
     canvas = np.zeros((ch, cw) + image.shape[2:], image.dtype)
     canvas[:h, :w] = image

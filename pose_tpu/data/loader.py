@@ -258,10 +258,12 @@ class PoseLoader:
         batch[key][:, :2] *= prescales[:, None, None]
 
     def _decode_images(self, paths, canvas_hw, native_pool, grayscale=False):
-        """Decode a batch of images onto fixed canvases: the native C++ pool
-        for JPEG stores, PIL per sample otherwise."""
+        """Decode a batch of images onto fixed canvases: the native C++
+        pools (JPEG for colour, PNG for the grayscale depth stream), PIL
+        per sample otherwise."""
+        exts = ('.png',) if grayscale else ('.jpg', '.jpeg')
         if native_pool is not None and all(
-                p.lower().endswith(('.jpg', '.jpeg')) for p in paths):
+                p.lower().endswith(exts) for p in paths):
             return native_pool.decode_batch(paths)
         canvases, extents, prescales = [], [], []
         for path in paths:

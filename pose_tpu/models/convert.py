@@ -159,19 +159,28 @@ def surgery_depth_host(torch_state):
     return torch_state
 
 
-def surgery_fusion_manual_update(torch_state):
-    """fusionnet.py:243-262: seed the depth branch from the RGB branch —
-    bn2 <- bn1, layer5 <- layer1, layer6 <- layer2, conv2 <- conv1[:, :1]."""
+def surgery_fusion_manual_update(torch_state, manual_source=None):
+    """fusionnet.py:243-262: seed the depth branch — bn2 <- bn1,
+    layer5 <- layer1, layer6 <- layer2, conv2 <- conv1[:, :1].
+
+    `manual_source` is the state the depth-branch keys are copied FROM;
+    the reference separates it from the main body: with -depth_host the
+    manual_update source is host_path['model'] (a trained depth model)
+    while the trunk body still comes from model_path
+    (fusionnet.py:270-276, partial_fusionnet.py:299-305)."""
     torch_state = dict(torch_state)
+    if manual_source is None:
+        manual_source = torch_state
     additions = {}
-    for key, value in torch_state.items():
+    for key, value in manual_source.items():
         if key.startswith('bn1'):
             additions[key.replace('bn1', 'bn2', 1)] = value
         elif key.startswith('layer1'):
             additions[key.replace('layer1', 'layer5', 1)] = value
         elif key.startswith('layer2'):
             additions[key.replace('layer2', 'layer6', 1)] = value
-    additions['conv2.weight'] = _to_numpy(torch_state['conv1.weight'])[:, :1]
+    additions['conv2.weight'] = _to_numpy(
+        manual_source['conv1.weight'])[:, :1]
     additions.update(torch_state)  # existing keys win, as in the reference
     return additions
 
@@ -214,6 +223,10 @@ def load_pretrained(template_variables, args, variant):
         elif getattr(args, 'depth_only', False):
             toy = surgery_depth_only(toy)
     if variant in ('fusion', 'partial_fusion'):
-        toy = surgery_fusion_manual_update(toy)
+        manual_src = toy
+        if getattr(args, 'depth_host', False):
+            manual_src = {k: _to_numpy(v) for k, v in
+                          load_torch_file(args.host_path)['model'].items()}
+        toy = surgery_fusion_manual_update(toy, manual_src)
 
     return variables_from_torch(template_variables, toy)

@@ -232,8 +232,14 @@ class DepthTrainer(BaseTrainer):
         cam_stats = []
         for i_batch, (b, device_batch, host_batch) in enumerate(
                 self._eval_batches(test_loader, fusion)):
-            out = _to_host(self._eval_step(self.state,
-                                           self._shard(device_batch, device_batch.keys())))
+            out = self._eval_step(self.state,
+                                  self._shard(device_batch,
+                                              device_batch.keys()))
+            if not self.save_last:
+                # last_feat is a full feature map per batch; don't pay the
+                # device->host transfer unless -save_last will write it
+                out = {k: v for k, v in out.items() if k != 'last_feat'}
+            out = _to_host(out)
             loss = float(out['cam_loss'])
             loss_avg += loss * b
             total += b
@@ -246,7 +252,9 @@ class DepthTrainer(BaseTrainer):
             if self.save_last:
                 os.makedirs(self.last_path, exist_ok=True)
                 save_array(spec_cam, i_batch, self.last_path)
-                save_tensor(out['last_feat'], i_batch, self.last_path)
+                # slice away mesh-padding rows so the feature dump stays
+                # row-aligned with the spec_cam dump
+                save_tensor(out['last_feat'][:b], i_batch, self.last_path)
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))

@@ -280,6 +280,35 @@ class TestConverter:
         np.testing.assert_allclose(out['conv2.weight'],
                                    toy['conv1.weight'][:, :1])
 
+    def test_surgery_fusion_manual_update_depth_host_source(self):
+        """With -depth_host the depth-branch keys come from host_path (a
+        trained depth model) while the trunk body stays model_path
+        (fusionnet.py:270-276): the manual-update source is separate."""
+        rng = np.random.RandomState(3)
+        body = {
+            'conv1.weight': rng.randn(64, 3, 7, 7).astype(np.float32),
+            'bn1.weight': rng.randn(64).astype(np.float32),
+            'layer1.0.conv1.weight': rng.randn(64, 64, 3, 3).astype(
+                np.float32),
+        }
+        host = {
+            'conv1.weight': rng.randn(64, 3, 7, 7).astype(np.float32),
+            'bn1.weight': rng.randn(64).astype(np.float32),
+            'layer1.0.conv1.weight': rng.randn(64, 64, 3, 3).astype(
+                np.float32),
+        }
+        out = surgery_fusion_manual_update(body, host)
+        # depth branch from the host model...
+        np.testing.assert_allclose(out['bn2.weight'], host['bn1.weight'])
+        np.testing.assert_allclose(out['layer5.0.conv1.weight'],
+                                   host['layer1.0.conv1.weight'])
+        np.testing.assert_allclose(out['conv2.weight'],
+                                   host['conv1.weight'][:, :1])
+        # ...trunk body untouched
+        np.testing.assert_allclose(out['bn1.weight'], body['bn1.weight'])
+        np.testing.assert_allclose(out['conv1.weight'],
+                                   body['conv1.weight'])
+
 
 def test_fused_bn_trunk_equivalence():
     """POSE_TPU_BN=pallas (ops/fused_bn.py) must match the default

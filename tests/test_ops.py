@@ -190,6 +190,13 @@ class TestHeatmap:
         flat = np.asarray(heatmap.get_attention(257, 16, jnp.asarray(coords), False))
         assert flat.shape == (1, side_out, side_out) and np.all(flat == 1)
 
+        # the host twin the production loader uses (loader.attention_map)
+        # must track the device op — a formula tweak landing in only one
+        # of the two would silently skew distillation
+        from pose_tpu.data.loader import attention_map
+        host = attention_map(257, 16, coords, True)
+        np.testing.assert_allclose(ours, host, rtol=1e-4, atol=1e-5)
+
 
 class TestRecon:
     def test_recovers_known_root(self):
