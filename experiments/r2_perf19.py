@@ -97,7 +97,12 @@ def main():
         float(out['cam_loss'])
         return (time.perf_counter() - t0) / 30
 
+    import os
     trials = [
+        ('control', None),
+        ('lhs', {'xla_tpu_enable_latency_hiding_scheduler': 'true'}),
+        ('no_dot_sr', {'xla_tpu_enable_dot_strength_reduction': 'false'}),
+    ] if os.environ.get('P19_SET') == '2' else [
         ('control', None),
         ('scoped_vmem_48m', {'xla_tpu_scoped_vmem_limit_kib': '49152'}),
         ('scoped_vmem_96m', {'xla_tpu_scoped_vmem_limit_kib': '98304'}),
