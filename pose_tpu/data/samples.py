@@ -28,9 +28,12 @@ def cmu_split(split, phase, sample):
     """CMU samples are keyed by sequence name (data_groups.py:99-115)."""
     seq = sample.get('sequence')
     if seq is None:
-        # fall back to path layout <root>/<sequence>/...
-        parts = os.path.normpath(sample['image']).split(os.sep)
-        seq = parts[-3] if len(parts) >= 3 else parts[0]
+        # reference-produced stores carry no 'sequence' key; their path
+        # layout is <data_down_path>/<sequence>.<cam>/<frame>.<body>.jpg
+        # (data_groups.py:140,180), so the sequence is the parent folder
+        # up to the first dot
+        folder = os.path.basename(os.path.dirname(sample['image']))
+        seq = folder.split('.')[0]
     return seq in split[phase]
 
 

@@ -16,10 +16,11 @@ import jax
 import jax.numpy as jnp
 
 
-def rgb_to_hsv(image):
-    """RGB [0,1] -> HSV with H in degrees [0, 360), S,V in [0,1]
-    (cv2 float-image convention used by augment_colour.py)."""
-    r, g, b = image[..., 0], image[..., 1], image[..., 2]
+def _rgb_planes_to_hsv(r, g, b):
+    """RGB [0,1] channel planes -> (h, s, v) planes, H in degrees [0, 360)
+    (cv2 float-image convention used by augment_colour.py). Single source
+    of the conversion math for the stacked entry points AND the training
+    chain (_random_color_channels) — identical op sequence everywhere."""
     v = jnp.maximum(jnp.maximum(r, g), b)
     c_min = jnp.minimum(jnp.minimum(r, g), b)
     delta = v - c_min
@@ -34,12 +35,11 @@ def rgb_to_hsv(image):
     h = jnp.where(h < 0, h + 360.0, h)
 
     s = jnp.where(v == 0, 0.0, delta / jnp.where(v == 0, 1.0, v))
-    return jnp.stack([h, s, v], axis=-1)
+    return h, s, v
 
 
-def hsv_to_rgb(image):
-    """HSV (H degrees, S,V in [0,1]) -> RGB [0,1]."""
-    h, s, v = image[..., 0], image[..., 1], image[..., 2]
+def _hsv_planes_to_rgb(h, s, v):
+    """HSV planes (H degrees, S,V in [0,1]) -> (r, g, b) planes."""
     h = h / 60.0
     i = jnp.floor(h)
     f = h - i
@@ -48,12 +48,24 @@ def hsv_to_rgb(image):
     t = v * (1.0 - s * (1.0 - f))
     i = jnp.mod(i.astype(jnp.int32), 6)
 
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [p, p, t, v, v, q])
+    sel = [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5]
+    r = jnp.select(sel, [v, q, p, p, t, v])
+    g = jnp.select(sel, [t, v, v, q, p, p])
+    b = jnp.select(sel, [p, p, t, v, v, q])
+    return r, g, b
+
+
+def rgb_to_hsv(image):
+    """RGB [0,1] -> HSV, stacked-channel convenience wrapper."""
+    h, s, v = _rgb_planes_to_hsv(image[..., 0], image[..., 1],
+                                 image[..., 2])
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(image):
+    """HSV -> RGB [0,1], stacked-channel convenience wrapper."""
+    r, g, b = _hsv_planes_to_rgb(image[..., 0], image[..., 1],
+                                 image[..., 2])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -72,17 +84,7 @@ def _random_color_channels(r, g, b, key):
     r, g, b = (jnp.clip((c - 0.5) * con + 0.5, 0, 1) for c in (r, g, b))
 
     # rgb->hsv (cv2 float convention)
-    v = jnp.maximum(jnp.maximum(r, g), b)
-    c_min = jnp.minimum(jnp.minimum(r, g), b)
-    delta = v - c_min
-    safe_delta = jnp.where(delta == 0, 1.0, delta)
-    h_r = 60.0 * (g - b) / safe_delta
-    h_g = 120.0 + 60.0 * (b - r) / safe_delta
-    h_b = 240.0 + 60.0 * (r - g) / safe_delta
-    h = jnp.where(v == r, h_r, jnp.where(v == g, h_g, h_b))
-    h = jnp.where(delta == 0, 0.0, h)
-    h = jnp.where(h < 0, h + 360.0, h)
-    s = jnp.where(v == 0, 0.0, delta / jnp.where(v == 0, 1.0, v))
+    h, s, v = _rgb_planes_to_hsv(r, g, b)
 
     # hue (augment_colour.py:26-35)
     hue = h + jax.random.uniform(k_hue, (), minval=-18.0, maxval=18.0)
@@ -94,17 +96,7 @@ def _random_color_channels(r, g, b, key):
     sat = jnp.clip(sat, 0, 1)
 
     # hsv->rgb
-    hh = hue / 60.0
-    i = jnp.floor(hh)
-    f = hh - i
-    p = v * (1.0 - sat)
-    q = v * (1.0 - sat * f)
-    t = v * (1.0 - sat * (1.0 - f))
-    i = jnp.mod(i.astype(jnp.int32), 6)
-    sel = [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5]
-    r = jnp.select(sel, [v, q, p, p, t, v])
-    g = jnp.select(sel, [t, v, v, q, p, p])
-    b = jnp.select(sel, [p, p, t, v, v, q])
+    r, g, b = _hsv_planes_to_rgb(hue, sat, v)
     quant = lambda c: jnp.floor(jnp.clip(c, 0, 1) * 255.0) / 255.0
     return quant(r), quant(g), quant(b)
 

@@ -32,7 +32,18 @@ def load_occluder_bank(occ_path, occ_count, canvas=256):
             occ = occ.astype(np.float32) / 255.0
         mask = mask.astype(np.float32)
         h, w = occ.shape[:2]
-        h, w = min(h, canvas), min(w, canvas)
+        if h > canvas or w > canvas:
+            # keep the WHOLE sprite: downscale to fit the fixed canvas
+            # (the reference resizes full sprites at paste time,
+            # augment_occluder.py:76-80 — clipping would paste fragments)
+            s_fit = min(canvas / h, canvas / w)
+            nh = max(1, int(np.floor(h * s_fit)))
+            nw = max(1, int(np.floor(w * s_fit)))
+            ys = (np.arange(nh) * h / nh).astype(np.int64)
+            xs = (np.arange(nw) * w / nw).astype(np.int64)
+            occ = occ[ys][:, xs]
+            mask = mask[ys][:, xs]
+            h, w = nh, nw
         sprites[i, :h, :w] = occ[:h, :w, :3]
         alphas[i, :h, :w] = mask[:h, :w]
         shapes[i] = (h, w)
@@ -98,10 +109,13 @@ def random_occlu(image, key, sprites, alphas, shapes):
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     start = center - dest_shape / 2                            # (y, x) of paste origin
-    # sprite coordinate = (pixel - start) * (orig / dest)
+    # sprite coordinate: center-aligned inverse map, matching
+    # cv2.resize's (x + 0.5) * ratio - 0.5 convention
+    # (augment_occluder.py:79-81); remaining documented divergence is
+    # bilinear sampling where cv2 INTER_AREA box-filters
     ratio = shape / jnp.maximum(dest_shape, 1.0)
-    sx = (xx - start[1]) * ratio[1]
-    sy = (yy - start[0]) * ratio[0]
+    sx = (xx - start[1] + 0.5) * ratio[1] - 0.5
+    sy = (yy - start[0] + 0.5) * ratio[0] - 0.5
     coords = jnp.stack([sx, sy], axis=-1)
 
     rgb, a = _sample_sprite(sprite, alpha, shapes[idx], coords)
@@ -141,9 +155,11 @@ def random_occlu_mxu(image, key, sprites, alphas, shapes):
     zero = jnp.zeros(())
     one = jnp.ones(())
     hom = jnp.stack([
-        jnp.stack([ratio[1], zero, -start[1] * ratio[1]]),
-        jnp.stack([zero, ratio[0], -start[0] * ratio[0]]),
-        jnp.stack([zero, zero, one])])
+        jnp.stack([ratio[1], zero,
+                   (0.5 - start[1]) * ratio[1] - 0.5]),
+        jnp.stack([zero, ratio[0],
+                   (0.5 - start[0]) * ratio[0] - 0.5]),
+        jnp.stack([zero, zero, one])])   # center-aligned, as random_occlu
 
     rgba = jnp.concatenate([sprite, alpha[..., None]], axis=-1)
     # bf16 weights ride the MXU on TPU; XLA:CPU cannot execute an unfused
@@ -189,8 +205,11 @@ def random_erase(image, key):
 
     start = ((jnp.asarray([h, w], jnp.float32) - erase_shape)
              * jax.random.uniform(k_pos, (2,)))
-    start = jnp.round(start)
+    # round start and end independently from the UNROUNDED start, as the
+    # reference does (augment_occluder.py:99-104) — rounding the start
+    # first drifts the rectangle size by up to 1 px
     end = jnp.round(start + erase_shape)
+    start = jnp.round(start)
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)

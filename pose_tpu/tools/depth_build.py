@@ -125,11 +125,17 @@ def filter_ntu_main(root_path, skeleton_path, num_processes=6):
     anno_files_by_cam = groupby(anno_files, get_cam_id)
 
     pool = multiprocessing.Pool(num_processes)
-    for cam_id, annos in anno_files_by_cam.items():
-        pool.apply_async(func=filter_ntu_samples,
-                         args=(annos, cam_id, cameras[cam_id], root_path))
+    # keep the AsyncResult handles: .get() re-raises worker exceptions, so
+    # a failed camera shard aborts the build instead of silently missing
+    # (the sibling filter_pku_main already did this)
+    processes = [pool.apply_async(
+        func=filter_ntu_samples,
+        args=(annos, cam_id, cameras[cam_id], root_path))
+        for cam_id, annos in anno_files_by_cam.items()]
     pool.close()
     pool.join()
+    for process in processes:
+        process.get()
 
 
 # ------------------------------------------------------------------- PKU
@@ -413,7 +419,14 @@ def get_ntu_group(phase, args, detector=None):
                     samples_by_frame[frame], det_bboxes,
                     lambda s: make_depth_sample(s, cameras, image, args))
 
-        with open(sample_file.replace('midway', 'final'), 'wb') as f:
+        # replace only the shard-directory component (a root path that
+        # itself contains 'midway' must not be rewritten), and create the
+        # final_samples dir before the first shard is written
+        final_file = os.path.join(
+            os.path.dirname(os.path.dirname(sample_file)), 'final_samples',
+            os.path.basename(sample_file))
+        os.makedirs(os.path.dirname(final_file), exist_ok=True)
+        with open(final_file, 'wb') as f:
             pickle.dump(final_samples, f)
 
 
@@ -483,5 +496,8 @@ def get_pku_group(args, detector=None):
             if made and not os.path.exists(new_depth_path):
                 cv2.imwrite(new_depth_path, depth_image)
 
-    with open(sample_file.replace('midway', 'final'), 'wb') as f:
+    final_file = os.path.join(
+        os.path.dirname(sample_file),
+        os.path.basename(sample_file).replace('midway', 'final'))
+    with open(final_file, 'wb') as f:
         pickle.dump(final_samples, f)

@@ -19,9 +19,16 @@ def save_train_state(directory, state, step=None):
     os.makedirs(directory, exist_ok=True)
     step = int(state.step) if step is None else int(step)
     with ocp.CheckpointManager(directory) as manager:
-        manager.save(step, args=ocp.args.StandardSave(
-            jax.device_get(state)))
+        saved = manager.save(step, args=ocp.args.StandardSave(
+            jax.device_get(state)), force=True)
         manager.wait_until_finished()
+    if not saved:
+        # orbax's should_save silently refuses steps <= the latest existing
+        # one; returning as if saved would break the bit-exact-resume
+        # guarantee, so surface it
+        raise RuntimeError(
+            f'orbax refused to save step {step} into {directory} '
+            f'(latest existing step is newer?)')
     return step
 
 

@@ -70,3 +70,20 @@ def test_logger_best_pointer_and_record(tmp_path):
     ck = load_torch_file(os.path.join(save_dir, 'model_2.pth'))
     assert ck['state']['epoch'] == 2
     assert 'conv1.weight' in ck['model']
+
+
+def test_orbax_resave_earlier_step_not_silently_dropped(tmp_path):
+    """orbax's should_save silently refuses steps <= the latest existing
+    one; save_train_state must actually persist (force) rather than return
+    success without writing (restart-from-scratch into an existing dir)."""
+    args = small_args(tmp_path)
+    model, tx, state = make_state(args)
+    d = str(tmp_path / 'orbax')
+    save_train_state(d, state, step=5)
+    save_train_state(d, state, step=3)   # would be a silent no-op unforced
+
+    template = steps.init_state(model, args, tx, (jnp.ones((1, 65, 65, 3)),))
+    restored = restore_train_state(d, template, step=3)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -213,3 +213,21 @@ def test_reproject_image_antialias_prescale():
         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     # interior-pixel agreement (border rows differ by zero-pad handling)
     assert np.abs(out[2:-2, 2:-2] - golden[2:-2, 2:-2]).max() < 0.02
+
+
+def test_cmu_split_reference_path_layout():
+    """Reference-built CMU stores carry no 'sequence' key; the split must
+    recover the sequence from the reference's download layout
+    <data_down_path>/<sequence>.<cam>/<frame>.<body>.jpg
+    (data_groups.py:140,180)."""
+    from pose_tpu.data.samples import cmu_split
+
+    split = {'train': ['171204_pose1'], 'test': ['171026_pose2']}
+    s_train = {'image': '/data/cmu_down/171204_pose1.00_03/120.1.jpg'}
+    s_test = {'image': '/data/cmu_down/171026_pose2.00_07/88.0.jpg'}
+    assert cmu_split(split, 'train', s_train)
+    assert not cmu_split(split, 'train', s_test)
+    assert cmu_split(split, 'test', s_test)
+    # stores built by our own tools carry the explicit key
+    assert cmu_split(split, 'train', {'sequence': '171204_pose1',
+                                      'image': 'x.jpg'})
