@@ -361,3 +361,51 @@ class TestConvergence:
         thirds = [np.mean(history[i:i + 36]) for i in (0, 37, 74)]
         assert thirds[0] > thirds[1] > thirds[2], thirds
         assert history[-1] < 0.45 * history[0], history[::10]
+
+
+class TestDistillConvergence:
+    def test_student_descends_both_objectives(self):
+        """The privileged-information core must LEARN end-to-end: 80 Adam
+        steps of frozen-teacher distillation on one fixed batch must reduce
+        both the pose loss and the feature-distillation loss."""
+        from pose_tpu.serve import default_args
+        from pose_tpu.models import build_model
+
+        args = default_args(model='resnet18', side_in=65, stride=32,
+                            depth=4, num_joints=5, half_acc=False,
+                            joint_space=False, criterion='SmoothL1',
+                            grad_norm=5.0, weight_decay=4e-5, loss_div=10.0,
+                            sigmoid=False, bin_dist=False, do_freeze=True,
+                            depth_only=False)
+        model = build_model(args, 'depth')
+        teacher = build_model(args, 'depth')
+        tx = steps.make_optimizer(args)
+        state = steps.init_state(model, args, tx,
+                                 (jnp.ones((1, 65, 65, 3)),))
+        t_vars = jax.device_get(teacher.init(
+            jax.random.PRNGKey(7), jnp.ones((1, 65, 65, 3)), train=False))
+        t_vars = dict(params=t_vars['params'],
+                      batch_stats=t_vars['batch_stats'])
+        step = steps.make_distill_train_step(
+            model, teacher, args, 2, tx, teacher_is_fusion=False,
+            with_semi=False)
+
+        rng = np.random.RandomState(0)
+        batch = dict(
+            color=jnp.asarray(rng.randn(4, 65, 65, 3).astype(np.float32)),
+            true_cam=jnp.asarray(
+                rng.uniform(-300, 300, (4, 5, 3)).astype(np.float32) + 2500),
+            true_val=jnp.ones((4, 5), bool),
+            atten_map=jnp.ones((4, 3, 3, 1), jnp.float32))
+
+        cam_hist, dist_hist = [], []
+        for i in range(80):
+            state, t_vars, out = step(state, t_vars, batch,
+                                      jnp.float32(5e-4), jnp.float32(0.5))
+            cam_hist.append(float(out['cam_loss']))
+            dist_hist.append(float(out['dist_loss']))
+        assert np.isfinite(cam_hist).all() and np.isfinite(dist_hist).all()
+        assert np.mean(cam_hist[-10:]) < 0.6 * np.mean(cam_hist[:10]), \
+            cam_hist[::16]
+        assert np.mean(dist_hist[-10:]) < 0.7 * np.mean(dist_hist[:10]), \
+            dist_hist[::16]
