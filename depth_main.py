@@ -23,7 +23,7 @@ def get_info():
     return build_info('h36m')
 
 
-def model_variant(args, for_teacher=False):
+def model_variant(args):
     variant = 'fusion' if args.do_fusion else 'depth'
     if args.partial_conv:
         variant = 'partial_' + variant

@@ -201,18 +201,16 @@ def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
                                 extents)
     if apply_to_depth:
         crops = jax.vmap(to_depth_correction)(crops, k_invs)
-    crops = crops / (10.0 / 255.0)
-    veil = (thresh[:, None, None, None] <= crops).astype(jnp.float32)
-    if nexponent:
-        return jnp.exp(-crops) * veil
-    return crops / 3.0
+    return enhance_depth(crops, nexponent, thresh[:, None, None, None])
 
 
+@functools.partial(jax.jit, static_argnames=('side_in',))
 def bbox_mask_channel(quads, side_in):
     """Rasterize per-sample convex bbox quads (crop coords, (B, 4, 2)) into
     {0,1} masks — the -extra_channel input (opts.py:14, resnet.py:142; the
     reference snapshot never builds the dataset side of this channel, so it
-    is reconstructed as the bbox-region mask the flag describes)."""
+    is reconstructed as the bbox-region mask the flag describes). Jitted:
+    the loader calls it per batch outside any other program."""
     b = quads.shape[0]
     yy = jax.lax.broadcasted_iota(jnp.float32, (side_in, side_in), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (side_in, side_in), 1)

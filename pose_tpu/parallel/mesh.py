@@ -9,9 +9,7 @@ TPU-native equivalent of DataParallel's implicit sync (SURVEY.md §5).
 `-n_cudas` is interpreted as the number of mesh devices.
 
 The model is a CNN over fixed 257x257 crops — there is no sequence axis, so
-batch (dp) sharding is the scaling dimension; for very large inputs the mesh
-also carries an optional 'space' axis for spatial sharding of feature maps
-(unused by the reference configs but exposed for pod-scale runs).
+batch (dp) sharding is the scaling dimension at every practical pod size.
 """
 
 import jax

@@ -55,6 +55,10 @@ def get_image_coords(data_path, seq_name, start_frame, end_frame, interval):
     cameras = [cam for cam in calib['cameras'] if cam['panel'] == 0]
     cameras = {cam['name']: cam for cam in cameras
                if cam['name'] in cam_names}
+    # an hdImgs folder with no panel-0 calibration entry cannot be
+    # projected — drop it instead of KeyError-ing mid-run
+    cam_names = [n for n in cam_names if n in cameras]
+    image_coords = {name: [] for name in cam_names}
 
     for frame in range(start_frame, end_frame, interval):
         bodies = os.path.join(pose_folder,
@@ -76,7 +80,12 @@ def get_image_coords(data_path, seq_name, start_frame, end_frame, interval):
     print('saving collected image coords')
     for name in cam_names:
         save_path = os.path.join(image_root, 'image_coord_' + name + '.json')
-        image_coord = np.stack(image_coords[name]).tolist()
+        if not image_coords[name]:
+            # no frame in range carried bodies: write an empty record
+            # rather than crash after the whole sweep
+            image_coord = []
+        else:
+            image_coord = np.stack(image_coords[name]).tolist()
         with open(save_path, 'w') as file:
             json.dump(dict(start_frame=start_frame, end_frame=end_frame,
                            interval=interval, image_coord=image_coord), file)

@@ -29,9 +29,12 @@ class StepTimer:
         self.images_per_sec = None
 
     def update(self, batch_size, sync_value=None):
+        # sync by VALUE FETCH, not block_until_ready: through a remote
+        # dispatch transport (axon) block_until_ready can return before
+        # device execution finishes, inflating images/sec (CLAUDE.md)
         if self._t0 is None:
             if sync_value is not None:
-                jax.block_until_ready(sync_value)
+                jax.device_get(sync_value)
             self._t0 = time.perf_counter()
             self._count = 0
             self._images = 0
@@ -40,7 +43,7 @@ class StepTimer:
         self._images += batch_size
         if self._count >= self.window:
             if sync_value is not None:
-                jax.block_until_ready(sync_value)
+                jax.device_get(sync_value)
             dt = time.perf_counter() - self._t0
             self.images_per_sec = self._images / dt
             self._t0 = time.perf_counter()
