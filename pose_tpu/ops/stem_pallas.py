@@ -1,10 +1,23 @@
-"""Pallas stem convolution (7x7 stride-2, 4->64) for the pose trunk.
+"""Pallas stem convolution (7x7 stride-2, 4->64) — MEASURED NEGATIVE
+RESULT, kept as a tested reference point; the trunk stays on XLA's conv.
 
-Why: XLA's NHWC conv pads the 4 input channels onto 128 lanes, so both the
-forward and the filter-gradient of the stem move ~32x more VMEM/VREG data
-than the tensor holds (measured 2.17 + 2.26 ms at bs128/257^2 on v5e —
-~4% of the whole honest train step in one layer, r2_perf20). The image is
-data, so the input-gradient is never needed.
+Motivation: XLA's NHWC conv pads the 4 input channels onto 128 lanes, so
+the stem moves ~32x more VREG data than the tensor holds (measured
+2.17 ms fwd + 2.26 ms filter-grad at bs128/257^2 on v5e — ~4% of the
+honest train step, r2_perf20; the input-gradient is never needed since
+the image is data).
+
+Verdict (r2_perf21, real chip): bit-exact vs the XLA conv (maxdiff 0.0)
+but **15.4 ms vs 2.1 ms — 7x slower**. The 196 per-tap patch copies are
+each STATIC but sublane/lane-MISALIGNED (offsets kh//2, kw//2 in
+{1, 2, 3}), and every misaligned slice costs a VREG relayout — extending
+the round-2 kernel-pricing rule: not just dynamic offsets, *any*
+non-tile-aligned access prices a TPU Pallas kernel. A 7x7/2 conv is
+misaligned in both axes by construction, which is exactly the relayout
+work XLA's conv emitter already does with register-level control Mosaic
+does not expose. Dead ends measured for the stem so far: space-to-depth
+(20.9 ms, r2_perf2), tap-einsum filter-grad (86.5 ms, r2_perf20), this
+kernel (15.4 ms).
 
 Design (kernel lessons from the split warp, docs/ROUND2_NOTES.md): the
 kernel reads an aligned (4, 24, Wp) *channel-planar* row block per 8-row
