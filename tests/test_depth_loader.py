@@ -88,3 +88,28 @@ def test_mixed_loader(ntu, tmp_path):
     batches = list(mixed)
     assert len(batches) == len(mixed)
     assert {bt['_dataset'] for bt in batches} == {0, 1}
+
+
+def test_gated_impl_uses_depth_canvas_shape():
+    """The banded-warp gate must validate DEPTH homographies against the
+    depth canvas, not the colour canvas (regression: it passed self.canvas
+    for both streams)."""
+    import types
+    from unittest import mock
+    from pose_tpu.data.loader import PoseLoader
+
+    calls = []
+
+    def fake_gate(homs, src_hw, out_hw, band=32):
+        calls.append(tuple(src_hw))
+        return True
+
+    self_like = types.SimpleNamespace(
+        at_test=False, warp_impl='pallas_banded', eval_warp_impl='gather',
+        canvas=(512, 512), side_in=257)
+    homs = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    with mock.patch('pose_tpu.ops.warp_pallas.band_ok_v2', fake_gate):
+        impl = PoseLoader._gated_impl(self_like, homs, src_hw=(424, 512))
+        assert impl == 'pallas_banded'
+        impl = PoseLoader._gated_impl(self_like, homs)
+    assert calls == [(424, 512), (512, 512)]
