@@ -171,19 +171,23 @@ struct Loader {
 // Decode `path` into canvas slot `slot` of `out` (B, ch, cw, 3).
 void decode_into_slot(Loader* loader, const char* path, uint8_t* out_slot,
                       int32_t* extent, float* prescale, int* status) {
+  // prescale: TWO floats per sample — the realized (sy, sx) downscale
+  // factors (independent floors realize slightly different per-axis
+  // scales; averaging them misplaces source lookups sub-pixel)
   std::vector<uint8_t> pixels;
   int h = 0, w = 0;
   if (!decode_jpeg(path, &pixels, &h, &w)) {
     *status = 1;
     extent[0] = 0;
     extent[1] = 0;
-    *prescale = 1.0f;
+    prescale[0] = 1.0f;
+    prescale[1] = 1.0f;
     return;
   }
 
   const int ch = loader->canvas_h;
   const int cw = loader->canvas_w;
-  float scale = 1.0f;
+  float scale_y = 1.0f, scale_x = 1.0f;
   if (h > ch || w > cw) {
     // double-precision size math so nh/nw match the numpy fallback
     // (crop.pad_to_canvas computes in float64) on exact-ratio sources
@@ -193,9 +197,8 @@ void decode_into_slot(Loader* loader, const char* path, uint8_t* out_slot,
     const int nw = std::max(1, static_cast<int>(w * s));
     std::vector<uint8_t> scaled;
     area_downscale(pixels, h, w, nh, nw, &scaled);
-    // fold the realized (integer-rounded) scale back
-    scale = 0.5f * (static_cast<float>(static_cast<double>(nh) / h +
-                                       static_cast<double>(nw) / w));
+    scale_y = static_cast<float>(static_cast<double>(nh) / h);
+    scale_x = static_cast<float>(static_cast<double>(nw) / w);
     pixels.swap(scaled);
     h = nh;
     w = nw;
@@ -209,7 +212,8 @@ void decode_into_slot(Loader* loader, const char* path, uint8_t* out_slot,
   }
   extent[0] = h;
   extent[1] = w;
-  *prescale = scale;
+  prescale[0] = scale_y;
+  prescale[1] = scale_x;
   *status = 0;
 }
 
@@ -224,8 +228,8 @@ void* pl_create(int num_threads, int canvas_h, int canvas_w) {
 void pl_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 // Decode a batch of JPEG paths into out (n, canvas_h, canvas_w, 3) uint8,
-// extents (n, 2) int32, prescales (n,) float32. Returns the number of
-// failures (0 = all decoded).
+// extents (n, 2) int32, prescales (n, 2) float32 (realized (sy, sx)
+// downscale factors). Returns the number of failures (0 = all decoded).
 int pl_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
                     int32_t* extents, float* prescales) {
   Loader* loader = static_cast<Loader*>(handle);
@@ -240,7 +244,7 @@ int pl_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
   for (int i = 0; i < n; ++i) {
     loader->pool.Submit([=, &status, &remaining, &done_mu, &done_cv] {
       decode_into_slot(loader, paths[i], out + slot_size * i, extents + 2 * i,
-                       prescales + i, &status[i]);
+                       prescales + 2 * i, &status[i]);
       if (remaining.fetch_sub(1) == 1) {
         std::unique_lock<std::mutex> lock(done_mu);
         done_cv.notify_one();
@@ -345,12 +349,13 @@ void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
     *status = 1;
     extent[0] = 0;
     extent[1] = 0;
-    *prescale = 1.0f;
+    prescale[0] = 1.0f;
+    prescale[1] = 1.0f;
     return;
   }
   const int ch = loader->canvas_h;
   const int cw = loader->canvas_w;
-  float scale = 1.0f;
+  float scale_y = 1.0f, scale_x = 1.0f;
   if (h > ch || w > cw) {
     // nearest-subsample (NOT area-average: averaging depth across object
     // boundaries fabricates sensor values that exist nowhere in the scene);
@@ -372,8 +377,8 @@ void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
             pixels[static_cast<size_t>(sy) * w + sx];
       }
     }
-    scale = 0.5f * (static_cast<float>(static_cast<double>(nh) / h +
-                                       static_cast<double>(nw) / w));
+    scale_y = static_cast<float>(static_cast<double>(nh) / h);
+    scale_x = static_cast<float>(static_cast<double>(nw) / w);
     pixels.swap(scaled);
     h = nh;
     w = nw;
@@ -386,7 +391,8 @@ void decode_png_into_slot(Loader* loader, const char* path, float* out_slot,
   }
   extent[0] = h;
   extent[1] = w;
-  *prescale = scale;
+  prescale[0] = scale_y;
+  prescale[1] = scale_x;
   *status = 0;
 }
 
@@ -396,7 +402,8 @@ extern "C" {
 
 // Decode a batch of grayscale PNG paths into out (n, canvas_h, canvas_w)
 // float32 canvases (oversized frames nearest-subsampled with the realized
-// prescale reported). Returns the number of decode failures.
+// per-axis (sy, sx) prescales reported, 2 floats/sample). Returns the
+// number of decode failures.
 int pl_decode_png_batch(void* handle, const char** paths, int n, float* out,
                         int32_t* extents, float* prescales) {
   Loader* loader = static_cast<Loader*>(handle);
@@ -411,7 +418,7 @@ int pl_decode_png_batch(void* handle, const char** paths, int n, float* out,
   for (int i = 0; i < n; ++i) {
     loader->pool.Submit([=, &status, &remaining, &done_mu, &done_cv] {
       decode_png_into_slot(loader, paths[i], out + slot_size * i,
-                           extents + 2 * i, prescales + i, &status[i]);
+                           extents + 2 * i, prescales + 2 * i, &status[i]);
       if (remaining.fetch_sub(1) == 1) {
         std::unique_lock<std::mutex> lock(done_mu);
         done_cv.notify_one();

@@ -55,9 +55,8 @@ def build_crop(cam, bbox, side_in, do_flip, random_zoom, geometry_aug):
         new_cam.horizontal_flip()
 
     if cam.distortion_coeffs is None:
-        old_matrix = cam.intrinsic_matrix @ cam.R
-        new_matrix = new_cam.intrinsic_matrix @ new_cam.R
-        homography = (old_matrix @ np.linalg.inv(new_matrix)).astype(np.float32)
+        homography = funcam.homography_between(
+            cam.arrays(), new_cam.arrays()).astype(np.float32)
         matrices = dict(homography=homography)
     else:
         partial = (cam.R @ np.linalg.inv(new_cam.R)
@@ -112,10 +111,8 @@ def build_crop_batch(cams, bboxes, side_in, flips, zooms, geometry_aug):
     new = new._replace(rot=rot)
 
     if cams.dist is None:
-        old_matrix = np.einsum('bij,bjk->bik', cams.kmat, cams.rot)
-        new_matrix = np.einsum('bij,bjk->bik', new.kmat, new.rot)
-        matrices = dict(homography=(
-            old_matrix @ np.linalg.inv(new_matrix)).astype(np.float32))
+        matrices = dict(homography=funcam.homography_between(
+            cams, new).astype(np.float32))
     else:
         partial = (cams.rot @ np.linalg.inv(new.rot)
                    @ np.linalg.inv(new.kmat)).astype(np.float32)
@@ -182,7 +179,8 @@ def _area_downscale_u8(image, dh, dw):
     np.cumsum(rows, axis=1, out=cs2[:, 1:])
     boxes = cs2[:, x1] - cs2[:, x0]                      # (dh, dw, c)
     counts = (np.maximum(y1 - y0, 0)[:, None]
-              * np.maximum(x1 - x0, 0)[None, :])[..., None]
+              * np.maximum(x1 - x0, 0)[None, :])
+    counts = counts.reshape(counts.shape + (1,) * (image.ndim - 2))
     return np.where(counts > 0, boxes // np.maximum(counts, 1),
                     0).astype(np.uint8)
 
@@ -212,20 +210,29 @@ def pad_to_canvas(image, canvas_hw):
             ys = (np.arange(new_h) * h / new_h).astype(np.int64)
             xs = (np.arange(new_w) * w / new_w).astype(np.int64)
             image = image[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
-        prescale = (new_h / h + new_w / w) / 2
+        # the realized per-axis scales differ (independent floors); keep
+        # BOTH — averaging them into one isotropic scalar misplaces
+        # source lookups by fractions of a pixel at the far edges
+        prescale = (new_h / h, new_w / w)
         h, w = image.shape[:2]
     canvas = np.zeros((ch, cw) + image.shape[2:], image.dtype)
     canvas[:h, :w] = image
-    return canvas, np.array([h, w], np.int32), np.float32(prescale)
+    return (canvas, np.array([h, w], np.int32),
+            np.asarray(np.broadcast_to(prescale, (2,)), np.float32))
 
 
 def scale_homography(homography, prescale):
-    """Fold a source-image prescale into the lookup homography: source coords
-    shrink by `prescale` (cameralib.py:689)."""
-    if prescale == 1.0:
+    """Fold a source-image prescale into the lookup homography: source
+    coords shrink by the per-axis `(sy, sx)` realized scales
+    (cameralib.py:689 is isotropic; the per-axis form is exact when the
+    floors of new_h and new_w realize slightly different factors).
+    Accepts a scalar for isotropic callers."""
+    prescale = np.broadcast_to(np.asarray(prescale, np.float32), (2,))
+    if np.all(prescale == 1.0):
         return homography
     out = np.array(homography, np.float32)
-    out[:2] *= prescale
+    out[0] *= prescale[1]        # x-row scales by the realized x factor
+    out[1] *= prescale[0]
     return out
 
 
@@ -234,7 +241,7 @@ def scale_lookup(sample, prescale):
     form it carries: the plain `homography`, or the distorted-source triple
     (there the final pixel coords come from `old_intrinsics`, so the scale
     lands on its first two rows)."""
-    if prescale == 1.0:
+    if np.all(np.asarray(prescale) == 1.0):
         return
     if 'homography' in sample:
         sample['homography'] = scale_homography(sample['homography'],

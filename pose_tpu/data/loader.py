@@ -247,15 +247,17 @@ class PoseLoader:
 
     @staticmethod
     def _scale_lookup_batch(batch, prescales, key=None):
-        """Vectorized crop.scale_lookup over per-sample decode prescales.
-        `key` names the lookup matrix to fold the prescale into (default:
-        the colour stream's homography/intrinsics)."""
+        """Vectorized crop.scale_lookup over per-sample (sy, sx) decode
+        prescales (shape (B, 2)). `key` names the lookup matrix to fold
+        the prescale into (default: the colour stream's
+        homography/intrinsics)."""
         if not np.any(prescales != 1.0):
             return
         if key is None:
             key = 'homography' if 'homography' in batch else 'old_intrinsics'
         batch[key] = np.array(batch[key], np.float32)
-        batch[key][:, :2] *= prescales[:, None, None]
+        batch[key][:, 0] *= prescales[:, 1, None]    # x-row by sx
+        batch[key][:, 1] *= prescales[:, 0, None]    # y-row by sy
 
     def _decode_images(self, paths, canvas_hw, native_pool, grayscale=False):
         """Decode a batch of images onto fixed canvases: the native C++

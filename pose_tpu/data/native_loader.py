@@ -62,12 +62,13 @@ class NativeImageLoader:
         """paths: list of JPEG file paths.
 
         Returns (canvases (N, ch, cw, 3) uint8, extents (N, 2) int32,
-        prescales (N,) float32). Raises on decode failure."""
+        prescales (N, 2) float32 — realized (sy, sx) downscale factors).
+        Raises on decode failure."""
         n = len(paths)
         ch, cw = self.canvas_hw
         canvases = np.empty((n, ch, cw, 3), np.uint8)
         extents = np.empty((n, 2), np.int32)
-        prescales = np.empty((n,), np.float32)
+        prescales = np.empty((n, 2), np.float32)
 
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         failures = self._lib.pl_decode_batch(
@@ -114,7 +115,7 @@ class NativeDepthLoader:
         ch, cw = self.canvas_hw
         canvases = np.empty((n, ch, cw), np.float32)
         extents = np.empty((n, 2), np.int32)
-        prescales = np.empty((n,), np.float32)
+        prescales = np.empty((n, 2), np.float32)   # (sy, sx) per sample
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         failures = self._lib.pl_decode_png_batch(
             self._handle, arr, n,

@@ -217,9 +217,13 @@ def reproject_points(points, old_camera, new_camera):
     relative-intrinsics shortcut when only intrinsics differ, general
     undistort->redistort path otherwise."""
     points = np.asarray(points, np.float32)
+    single = points.ndim == 1      # a bare (2,) point, as the reference
+    if single:                     # supports (cameralib.py:354-375)
+        points = points[None]
     old, new = old_camera.arrays(), new_camera.arrays()
-    if old.dist is None and new.dist is None and points.ndim == 2:
-        return funcam.reproject_pixels(points, old, new)
+    if old.dist is None and new.dist is None:
+        out = funcam.reproject_pixels(points, old, new)
+        return out[0] if single else out
 
     if not np.allclose(old.eye, new.eye):
         raise Exception('reproject_points requires co-centered cameras; the '
@@ -228,8 +232,10 @@ def reproject_points(points, old_camera, new_camera):
     if (np.allclose(new.rot, old.rot)
             and allclose_or_nones(new.dist, old.dist)):
         rel = new.kmat @ np.linalg.inv(old.kmat)
-        return funcam.apply_intrinsics(rel, points)
-    return funcam.reproject_pixels(points, old, new)
+        out = funcam.apply_intrinsics(rel, points)
+    else:
+        out = funcam.reproject_pixels(points, old, new)
+    return out[0] if single else out
 
 
 def reproject_points_fast(points, old_camera, new_camera):

@@ -1,9 +1,11 @@
 """Functional, batched camera core (SURVEY.md §7.1).
 
-A camera is a pytree of plain arrays — no object state, no mutation. Every
-function here broadcasts over arbitrary leading batch dimensions, so a whole
-batch of per-sample crop cameras can be synthesized with one numpy call chain
-(and the same code jit/vmaps under JAX if handed jnp arrays). The OO
+A camera is a pytree of plain arrays — no object state, no mutation. The
+functions broadcast over arbitrary leading batch dimensions, so a whole
+batch of per-sample crop cameras can be synthesized with one numpy call
+chain (and the same code jit/vmaps under JAX if handed jnp arrays). Two
+exceptions are single-camera only and say so in their docstrings
+(absolute_rotated, orbited — their axis selection is data-dependent). The OO
 `pose_tpu.geometry.camera.Camera` class is a thin stateful adapter over this
 module kept only for the reference's pickle/API surface.
 
@@ -280,7 +282,8 @@ def rotated(cam, yaw=0, pitch=0, roll=0):
 
 
 def absolute_rotated(cam, yaw=0, pitch=0, roll=0):
-    """Set absolute yaw/pitch/roll in the world frame (cameralib.py:114)."""
+    """Set absolute yaw/pitch/roll in the world frame (cameralib.py:114).
+    Single camera only (the reference axis pick branches on up's values)."""
     from .rotations import euler2mat
     up = np.asarray(cam.up, np.float64)
     ref = [0, 1, 0] if up[0] > up[1] else [1, 0, 0]
@@ -292,7 +295,8 @@ def absolute_rotated(cam, yaw=0, pitch=0, roll=0):
 
 
 def orbited(cam, world_point, angle_radians, axis='vertical'):
-    """Orbit the eye around a world point (cameralib.py:307-325)."""
+    """Orbit the eye around a world point (cameralib.py:307-325).
+    Single camera only (axangle2mat takes one 3-vector axis)."""
     from .rotations import axangle2mat
     if axis == 'vertical':
         axis_vec = -np.asarray(cam.up, np.float64)

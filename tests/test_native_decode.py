@@ -114,3 +114,15 @@ class TestLoaderGateReachesPngPool:
         pcv, pext, ppre = _python_decode(paths, canvas, grayscale=True)
         np.testing.assert_array_equal(out[0], pcv)
         np.testing.assert_array_equal(out[1], pext)
+
+
+def test_per_axis_prescale_exact():
+    """The realized downscale factors differ per axis (independent floors);
+    pad_to_canvas must report BOTH exactly — averaging them into one
+    isotropic scalar shifts warped source lookups sub-pixel vs GT."""
+    img = np.zeros((700, 1000, 3), np.uint8)
+    cv, ext, pre = crop.pad_to_canvas(img, (512, 512))
+    # s = 0.512 -> new_h = floor(358.4) = 358, new_w = 512
+    assert tuple(ext) == (358, 512)
+    np.testing.assert_allclose(pre, np.float32([358 / 700, 512 / 1000]), rtol=0)
+    assert pre[0] != pre[1]
