@@ -17,14 +17,20 @@ class MixedLoader:
     """Round-robin-with-weights interleave of several loaders.
 
     All loaders must produce identically-shaped batches (same side_in,
-    num_joints, modalities). One epoch = every member epoch exhausted once.
+    num_joints, modalities) — datasets with different skeletons need a
+    shared joint mapping at dataset-build time before they can share a
+    stream. One epoch = every member epoch exhausted once.
     """
 
-    def __init__(self, loaders, seed=0):
+    def __init__(self, loaders, seed=0, normalize_rgb_key=False):
         assert loaders
         self.loaders = list(loaders)
         self.seed = seed
         self.epoch = 0
+        # when RGB-only and depth loaders are mixed, rename the RGB
+        # stream's 'image' key to 'color' so the batch schema is uniform
+        # (the depth-family trainers consume 'color')
+        self.normalize_rgb_key = normalize_rgb_key
 
     def __len__(self):
         return sum(len(loader) for loader in self.loaders)
@@ -36,18 +42,35 @@ class MixedLoader:
                 loader.set_epoch(epoch)
 
     def __iter__(self):
+        # one-batch lookahead so every member generator runs to actual
+        # StopIteration: that is what executes the member's own
+        # end-of-epoch bookkeeping (PoseLoader's `epoch += 1`) and lets
+        # its producer threads exit. Counting batches and abandoning the
+        # suspended generator would silently replay identical shuffle
+        # orders/augmentation draws every epoch and leak blocked
+        # producer threads per member per epoch.
         iters = [iter(loader) for loader in self.loaders]
-        remaining = [len(loader) for loader in self.loaders]
-        rng = np.random.RandomState(self.seed + self.epoch)
-        while sum(remaining) > 0:
-            weights = np.asarray(remaining, np.float64)
-            idx = rng.choice(len(iters), p=weights / weights.sum())
+        heads = []
+        for it in iters:
             try:
-                batch = next(iters[idx])
+                heads.append(next(it))
             except StopIteration:
-                remaining[idx] = 0
-                continue
-            remaining[idx] = max(0, remaining[idx] - 1)
+                heads.append(None)
+        est = [len(loader) for loader in self.loaders]
+        rng = np.random.RandomState(self.seed + self.epoch)
+        while any(h is not None for h in heads):
+            weights = np.asarray(
+                [(max(e, 1e-9) if h is not None else 0.0)
+                 for e, h in zip(est, heads)], np.float64)
+            idx = rng.choice(len(iters), p=weights / weights.sum())
+            batch = heads[idx]
+            try:
+                heads[idx] = next(iters[idx])
+            except StopIteration:
+                heads[idx] = None
+            est[idx] = max(est[idx] - 1, 0)
+            if self.normalize_rgb_key and 'image' in batch:
+                batch['color'] = batch.pop('image')
             batch['_dataset'] = idx
             yield batch
         self.epoch += 1
@@ -66,10 +89,15 @@ def build_mixed_loader(args, phase, data_info, data_names, metadata_path=None,
         metadata = json.load(f)
 
     loaders = []
+    kinds = set()
     for name in data_names:
         sub_args = copy.copy(args)
         sub_args.data_name = name
-        no_depth = metadata['no_depth'].get(name, True)
+        # hard index, matching the engines' dispatch — a dataset missing
+        # from the metadata must fail here, not silently get the RGB class
+        no_depth = metadata['no_depth'][name]
+        kinds.add(no_depth)
         cls = PoseLoader if no_depth else DepthPoseLoader
         loaders.append(cls(sub_args, phase, data_info, **kwargs))
-    return MixedLoader(loaders, seed=getattr(args, 'seed', 0))
+    return MixedLoader(loaders, seed=getattr(args, 'seed', 0),
+                       normalize_rgb_key=len(kinds) > 1)

@@ -153,3 +153,52 @@ def test_distill_step_on_8_device_mesh(combined):
     for tree in (teacher_vars['batch_stats'], state.params):
         leaf = jax.tree_util.tree_leaves(tree)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+def test_members_advance_epochs_and_streams_differ(combined):
+    """MixedLoader must drive each member generator to StopIteration so the
+    member's own end-of-epoch bookkeeping runs: epoch 2 must reshuffle and
+    redraw augmentation, not replay epoch 1 bit-for-bit (regression: the
+    count-based interleave abandoned suspended generators)."""
+    from depth_main import get_info
+    from pose_tpu.data.mixed import build_mixed_loader
+
+    args = make_args(combined, 'ntu', n_cudas=1)
+    loader = build_mixed_loader(args, 'train', get_info(), ['ntu', 'pku'],
+                                metadata_path=combined)
+    first = [np.asarray(b['color']) for b in loader]
+    second = [np.asarray(b['color']) for b in loader]
+    assert all(ld.epoch == 2 for ld in loader.loaders), \
+        [ld.epoch for ld in loader.loaders]
+    assert len(first) == len(second)
+    assert any(a.shape != b.shape or not np.array_equal(a, b)
+               for a, b in zip(first, second))
+
+
+def test_heterogeneous_mix_normalizes_rgb_key():
+    """Mixing an RGB-only member with depth members must yield a uniform
+    batch schema: the RGB stream's 'image' key is renamed 'color'.
+    (Exercised on stub members: real cross-dataset mixes additionally
+    require a shared joint set — CMU's 19 vs NTU's 17 joints cannot share
+    a stream, which build_mixed_loader leaves to the dataset builder.)"""
+    from pose_tpu.data.mixed import MixedLoader
+
+    class Stub:
+        def __init__(self, key, n):
+            self.key, self.n, self.epoch = key, n, 0
+
+        def __len__(self):
+            return self.n
+
+        def __iter__(self):
+            for i in range(self.n):
+                yield {self.key: np.zeros((2, 4, 4, 3)), 'i': i}
+            self.epoch += 1
+
+    mixed = MixedLoader([Stub('image', 3), Stub('color', 3)],
+                        normalize_rgb_key=True)
+    batches = list(mixed)
+    assert len(batches) == 6
+    assert all('color' in b and 'image' not in b for b in batches)
+    assert {b['_dataset'] for b in batches} == {0, 1}
+    assert all(m.epoch == 1 for m in mixed.loaders)
