@@ -86,6 +86,12 @@ def build_parser():
                         help='print (and host-sync) train losses every N '
                              'batches; 1 matches the reference console, 0 '
                              'disables per-batch prints entirely')
+    parser.add_argument('-save_state', action='store_true',
+                        help='also write an orbax full-train-state sidecar '
+                             'per epoch and restore it on -resume, making '
+                             'resume bit-exact incl. Adam moments and BN '
+                             'stats (the reference torch checkpoints only '
+                             'carry weights+epoch; beyond-reference extra)')
 
     # train options
     parser.add_argument('-warmup_factor', default=0.2, type=float, help='LR multiplier during warmup')
