@@ -66,6 +66,14 @@ def load_checkpoint_into(trainer, args):
         trainer.set_variables(convert.variables_from_torch(
             template, checkpoint['model'], verbose=False))
         state = checkpoint['state']
+        if getattr(args, 'save_state', False):
+            from pose_tpu.train.orbax_io import restore_train_state
+            sidecar = os.path.join(args.save_path,
+                                   args.model + '-' + args.suffix, 'orbax')
+            if os.path.isdir(sidecar):
+                print('=> Restoring full train state from ' + sidecar)
+                trainer.load_state(
+                    restore_train_state(sidecar, trainer.state))
     return state
 
 
@@ -148,6 +156,10 @@ def main():
             test_rec = trainer.test(epoch, test_loader)
             logger.record(epoch, train_rec, test_rec,
                           trainer.get_variables())
+            if args.save_state:
+                from pose_tpu.train.orbax_io import save_train_state
+                save_train_state(os.path.join(logger.save_path, 'orbax'),
+                                 trainer.state, step=epoch)
         logger.final_print()
 
 
