@@ -9,9 +9,12 @@ backend initialization."""
 import os
 
 flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+# strip any pre-existing count and force 8: the mesh/podslice tests assume
+# exactly the documented 8-device virtual CPU mesh
+flags = ' '.join(f for f in flags.split()
+                 if not f.startswith('--xla_force_host_platform_device_count'))
+os.environ['XLA_FLAGS'] = (
+    flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
 

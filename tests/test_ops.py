@@ -233,23 +233,16 @@ class TestRecon:
 
 class TestPartialConv:
     def _torch_partial_conv(self, x, mask, w, stride, padding, dilation):
+        # NHWC wrapper around the ONE torch reference replica of the
+        # PartialConv semantics (shared with the full-step twin tests so
+        # the two suites cannot silently assert diverging semantics)
         torch = pytest.importorskip('torch')
-        import torch.nn.functional as F
+        from test_torch_twin_steps import t_partial_conv
         xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
         mt = torch.from_numpy(np.broadcast_to(
             mask.transpose(0, 3, 1, 2), (x.shape[0], 1) + x.shape[1:3]).copy())
         wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
-        kh, kw = w.shape[:2]
-        ones = torch.ones(1, 1, kh, kw)
-        winsize = kh * kw
-        mask_out = F.conv2d(mt, ones, stride=stride, padding=padding,
-                            dilation=dilation)
-        multiplier = winsize / (mask_out + 1e-6)
-        mask_out = torch.clamp(mask_out, 0, 1)
-        multiplier = multiplier * mask_out
-        raw = F.conv2d(xt * mt, wt, stride=stride, padding=padding,
-                       dilation=dilation)
-        out = raw * multiplier
+        out, mask_out = t_partial_conv(xt, mt, wt, stride, padding, dilation)
         return (out.numpy().transpose(0, 2, 3, 1),
                 mask_out.numpy().transpose(0, 2, 3, 1))
 
