@@ -126,6 +126,36 @@ class Predictor:
         self._compiled = lowered.compile()
         return self._compiled
 
+    def export_artifact(self, path):
+        """Serialize the whole predict graph (weights baked in as
+        constants, decode included) as a self-contained jax.export
+        artifact at the configured batch size. The artifact loads and
+        runs WITHOUT the framework or model code — the deployment-handoff
+        analogue of a TF SavedModel; the reference has no deployment
+        path at all."""
+        from jax import export as jax_export
+        variables = jax.device_get(self.variables)
+
+        def predict(*inputs):
+            return self._forward_impl(variables, *inputs)
+
+        shapes = tuple(
+            jax.ShapeDtypeStruct(x.shape, x.dtype)
+            for x in self._sample_inputs(self.batch_size))
+        exported = jax_export.export(jax.jit(predict))(*shapes)
+        with open(path, 'wb') as f:
+            f.write(exported.serialize())
+        return path
+
+    @staticmethod
+    def load_artifact(path):
+        """Load an export_artifact file; returns a callable
+        `fn(*inputs) -> {'relat_cam', ...}` usable with no model code."""
+        from jax import export as jax_export
+        with open(path, 'rb') as f:
+            exported = jax_export.deserialize(f.read())
+        return exported.call
+
 
 class BatchingServer:
     """Request batching/queueing in front of a Predictor (VERDICT round-2

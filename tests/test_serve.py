@@ -121,3 +121,22 @@ def test_malformed_request_resolves_not_wedges():
             np.random.RandomState(0).randn(65, 65, 3).astype(np.float32),
             timeout=60)
         assert np.all(np.isfinite(good['relat_cam']))
+
+
+def test_export_artifact_roundtrip(tmp_path):
+    """export_artifact serializes the whole predict graph (weights baked
+    in, decode included); the loaded artifact reproduces predict_crops
+    without the Predictor or model code."""
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    path = str(tmp_path / 'pose_predictor.jaxexport')
+    p.export_artifact(path)
+
+    fn = Predictor.load_artifact(path)
+    crops = np.random.RandomState(5).randn(2, 65, 65, 3).astype(np.float32)
+    out = fn(crops)
+    direct = p.predict_crops(crops)
+    # baked-constant folding changes fusion order slightly: ~5e-4 mm
+    # deviation on millimeter-scale coordinates (vs the 1 mm north star)
+    np.testing.assert_allclose(np.asarray(out['relat_cam']),
+                               direct['relat_cam'], atol=2e-3)
