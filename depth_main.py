@@ -7,12 +7,10 @@ import importlib
 import os
 
 import jax.numpy as jnp
-import numpy as np
 
-import joint_settings
 import opts
 from pose_tpu.models import build_model, convert
-from pose_tpu.train import DepthTrainer, JointInfo, Logger
+from pose_tpu.train import DepthTrainer, Logger
 from pose_tpu.train.depth_engine import load_metadata
 
 
@@ -67,13 +65,8 @@ def load_checkpoint_into(trainer, args):
             template, checkpoint['model'], verbose=False))
         state = checkpoint['state']
         if getattr(args, 'save_state', False):
-            from pose_tpu.train.orbax_io import restore_train_state
-            sidecar = os.path.join(args.save_path,
-                                   args.model + '-' + args.suffix, 'orbax')
-            if os.path.isdir(sidecar):
-                print('=> Restoring full train state from ' + sidecar)
-                trainer.load_state(
-                    restore_train_state(sidecar, trainer.state))
+            from pose_tpu.train.orbax_io import maybe_restore_sidecar
+            maybe_restore_sidecar(trainer, args)
     return state
 
 
@@ -88,15 +81,22 @@ def main():
 
     if args.do_teach:
         # create_pair (depth_main.py:77-108): frozen teacher of the flagged
-        # variant + fresh/pretrained depthnet student
+        # variant + fresh/pretrained depthnet student. The student under
+        # distillation ALWAYS consumes the RGB stream (the reference's
+        # vanilla_infer(color_image), depth_train.py:193) — -depth_only
+        # shapes only the TEACHER's stem, so the student args must not
+        # inherit it.
+        import copy
+        student_args = copy.copy(args)
+        student_args.depth_only = False
         teacher_model = build_model(args, variant)
-        student_model = build_model(args, 'depth')
+        student_model = build_model(student_args, 'depth')
         trainer = DepthTrainer(args, student_model, data_info)
-        trainer.init_state(sample_inputs(args, 'depth'))
+        trainer.init_state(sample_inputs(student_args, 'depth'))
         if args.pretrain:
             template = trainer.get_variables()
-            trainer.set_variables(convert.load_pretrained(template, args,
-                                                          'depth'))
+            trainer.set_variables(convert.load_pretrained(
+                template, student_args, 'depth'))
         # teacher weights
         import jax
         teacher_template = jax.device_get(teacher_model.init(
@@ -157,9 +157,8 @@ def main():
             logger.record(epoch, train_rec, test_rec,
                           trainer.get_variables())
             if args.save_state:
-                from pose_tpu.train.orbax_io import save_train_state
-                save_train_state(os.path.join(logger.save_path, 'orbax'),
-                                 trainer.state, step=epoch)
+                from pose_tpu.train.orbax_io import maybe_save_sidecar
+                maybe_save_sidecar(trainer, args, epoch)
         logger.final_print()
 
 

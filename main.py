@@ -54,13 +54,8 @@ def create_variables(args, model, trainer):
             # -save_state: the orbax sidecar carries the FULL TrainState
             # (Adam moments, BN stats, step) for bit-exact resume; the
             # torch checkpoint remains the interchange format
-            from pose_tpu.train.orbax_io import restore_train_state
-            sidecar = os.path.join(args.save_path,
-                                   args.model + '-' + args.suffix, 'orbax')
-            if os.path.isdir(sidecar):
-                print('=> Restoring full train state from ' + sidecar)
-                trainer.load_state(
-                    restore_train_state(sidecar, trainer.state))
+            from pose_tpu.train.orbax_io import maybe_restore_sidecar
+            maybe_restore_sidecar(trainer, args)
 
     return state
 
@@ -99,9 +94,8 @@ def main():
             logger.record(epoch, train_rec, test_rec,
                           trainer.get_variables())
             if args.save_state:
-                from pose_tpu.train.orbax_io import save_train_state
-                save_train_state(os.path.join(logger.save_path, 'orbax'),
-                                 trainer.state, step=epoch)
+                from pose_tpu.train.orbax_io import maybe_save_sidecar
+                maybe_save_sidecar(trainer, args, epoch)
         logger.final_print()
 
 

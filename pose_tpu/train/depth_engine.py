@@ -217,7 +217,15 @@ class DepthTrainer(BaseTrainer):
                 if self.no_depth:
                     in_image = batch['image' if 'image' in batch else 'color']
                 else:
-                    in_image = (batch['depth'] if self.args.depth_only
+                    # under distillation the student always consumes the
+                    # RGB stream (depth_train.py:193); -depth_only shapes
+                    # the teacher only, so eval must feed the student
+                    # colour too (the reference's -do_teach -depth_only
+                    # combination is a latent crash, adjudicated here)
+                    use_depth = (self.args.depth_only
+                                 and not getattr(self.args, 'do_teach',
+                                                 False))
+                    in_image = (batch['depth'] if use_depth
                                 else batch['color'])
                 device_batch = dict(in_image=in_image,
                                     true_cam=batch['true_cam'],

@@ -45,3 +45,29 @@ def restore_train_state(directory, template_state, step=None):
             step, args=ocp.args.StandardRestore(
                 jax.device_get(template_state)))
     return restored
+
+
+def sidecar_dir(args):
+    """The per-run sidecar location, next to the torch checkpoints."""
+    return os.path.join(args.save_path, args.model + '-' + args.suffix,
+                        'orbax')
+
+
+def maybe_restore_sidecar(trainer, args):
+    """-resume -save_state: restore the full TrainState when a sidecar
+    exists (shared by main.py and depth_main.py so the resume protocol
+    cannot diverge between the entry points)."""
+    if not getattr(args, 'save_state', False):
+        return False
+    directory = sidecar_dir(args)
+    if not os.path.isdir(directory):
+        return False
+    print('=> Restoring full train state from ' + directory)
+    trainer.load_state(restore_train_state(directory, trainer.state))
+    return True
+
+
+def maybe_save_sidecar(trainer, args, epoch):
+    """Per-epoch sidecar write under -save_state."""
+    if getattr(args, 'save_state', False):
+        save_train_state(sidecar_dir(args), trainer.state, step=epoch)

@@ -222,3 +222,27 @@ def test_main_save_state_sidecar_resume(cmu_fixture, tmp_path):
     out = run_cli('main.py', resume_flags)
     assert '=> Restoring full train state from' in out
     assert os.path.exists(os.path.join(save, 'resnet18-e2e', 'model_2.pth'))
+
+
+def test_depth_main_distill_depth_only_teacher(ntu_fixture, tmp_path):
+    """-do_teach -depth_only: the privileged teacher consumes the raw
+    1-channel depth stream while the student consumes RGB (the reference's
+    vanilla_infer(color), depth_train.py:193; the combination is a latent
+    crash in the reference — its student inherits the 1-ch stem —
+    adjudicated here to the clear intent)."""
+    save = str(tmp_path / 'save')
+    teacher_flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                            '-metadata_path', ntu_fixture, '-save_path', save,
+                            '-shuffle', '-save_record', '-depth_only']
+    run_cli('depth_main.py', teacher_flags)
+    teacher_ckpt = os.path.join(save, 'resnet18-e2e', 'model_1.pth')
+
+    student_save = str(tmp_path / 'student')
+    flags = BASE + ['-data_name', 'ntu', '-num_joints', '17',
+                    '-metadata_path', ntu_fixture,
+                    '-save_path', student_save,
+                    '-shuffle', '-save_record', '-do_teach', '-attention',
+                    '-depth_only', '-teacher_path', teacher_ckpt]
+    out = run_cli('depth_main.py', flags)
+    _spec_line(out)
+    assert 'Dist Loss' in out
