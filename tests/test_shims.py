@@ -231,3 +231,27 @@ def test_cmu_split_reference_path_layout():
     # stores built by our own tools carry the explicit key
     assert cmu_split(split, 'train', {'sequence': '171204_pose1',
                                       'image': 'x.jpg'})
+
+
+def test_augment_shims_surface(tmp_path):
+    """Reference-named augment_colour/augment_occluder host APIs (numpy
+    in/out, implicit RNG) delegate to the on-device ops."""
+    import augment_colour
+    import augment_occluder
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3).astype(np.float32)
+    out = augment_colour.random_color(img)
+    assert out.shape == img.shape and out.min() >= 0 and out.max() <= 1
+
+    erased = augment_occluder.random_erase(img)
+    assert erased.shape == img.shape
+    assert np.abs(erased - img).max() > 0.01   # a rectangle was filled
+
+    np.save(tmp_path / 'occluder_0.npy',
+            (rng.rand(20, 16, 3) * 255).astype(np.uint8))
+    np.save(tmp_path / 'mask_0.npy', np.ones((20, 16), np.float32))
+    occ, mask = augment_occluder.fetch_occluders(0, str(tmp_path))
+    assert occ.shape == (20, 16, 3) and mask.shape == (20, 16)
+    pasted = augment_occluder.random_occlu(img, 1, str(tmp_path))
+    assert pasted.shape == img.shape
