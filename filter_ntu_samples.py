@@ -3,10 +3,9 @@ Usage: python filter_ntu_samples.py <root_path> <skeleton_path>"""
 
 import sys
 
-from pose_tpu.tools.depth_build import (are_changes_sufficient_and_update,
+from pose_tpu.tools.depth_build import (MotionGate, has_coords,
                                         filter_ntu_main as main_impl,
-                                        filter_ntu_samples as filter_samples,
-                                        non_empty, sufficient_pose_change)
+                                        filter_ntu_samples as filter_samples)
 
 
 def main(root_path, skeleton_path):

@@ -54,54 +54,76 @@ def _warp_image(image, old_camera, new_camera, imshape):
     return shim.reproject_image(image, old_camera, new_camera, imshape)
 
 
+# headroom for the training-time rotation augmentation the stored crop
+# must survive without clipping (data_groups.py:43-47 bakes in pi/6)
+ROTATION_HEADROOM = np.pi / 6
+
+
+def _rotation_safe_side(box_wh, angle=ROTATION_HEADROOM):
+    """Side of the axis-aligned square that still covers a (w, h) box after
+    rotating it by up to `angle`: the rotated box's bounding extent is
+    w*cos+h*sin along one axis and w*sin+h*cos along the other; take the
+    larger."""
+    c, s = np.cos(angle), np.sin(angle)
+    w, h = np.asarray(box_wh, np.float64)
+    return max(c * w + s * h, s * w + c * h)
+
+
+def _downscale_cap(box_wh, side_in, random_zoom):
+    """Scale that leaves the subject `side_in / random_zoom` pixels across,
+    so the training loader's zoom range never needs to upsample the stored
+    crop; never upscale at build time (cap at 1)."""
+    return min(side_in / (np.max(box_wh) * random_zoom), 1.0)
+
+
 def make_sample(sample, camera, image, args):
-    """Downscale+recenter one person crop to disk (data_groups.py:36-70):
-    pi/6-rotation-safe expansion, scale capped so the random-zoom headroom of
-    the training crop never upsamples, shift_to_center + scale_output."""
-    box_center = boxlib.center(sample['bbox'])
+    """Downscale+recenter one person crop to disk (behavioral spec:
+    data_groups.py:36-70, re-derived): build a virtual camera centered on
+    the bbox with rotation-safe coverage and a capped downscale, warp the
+    source image through it once, and rewrite the sample's bbox/camera into
+    that crop frame."""
+    wh = np.asarray(sample['bbox'][2:], np.float64)
+    cover_side = _rotation_safe_side(wh)
+    scale = _downscale_cap(wh, args.side_in, args.random_zoom)
 
-    sine = np.sin(np.pi / 6)
-    cosine = np.cos(np.pi / 6)
-    expand_shape = (np.array([[cosine, sine], [sine, cosine]])
-                    @ sample['bbox'][2:, np.newaxis])
-    expand_side = np.max(expand_shape)
-
-    scale_factor = min(
-        args.side_in / np.max(sample['bbox'][2:]) / args.random_zoom, 1.0)
-    dest_side = int(np.round(expand_side * scale_factor))
-
-    new_cam = copy.deepcopy(camera)
-    new_cam.shift_to_center(box_center, (expand_side, expand_side))
-    new_cam.scale_output(scale_factor)
-
-    new_bbox = cameralib.reproject_points(
-        sample['bbox'][None, :2], camera, new_cam)[0]
-    new_bbox = np.concatenate([new_bbox, sample['bbox'][2:] * scale_factor])
+    crop_cam = copy.deepcopy(camera)
+    crop_cam.shift_to_center(boxlib.center(sample['bbox']),
+                             (cover_side, cover_side))
+    crop_cam.scale_output(scale)
 
     if not os.path.exists(sample['image']):
-        new_image = _warp_image(image, camera, new_cam, (dest_side, dest_side))
-        Image.fromarray(new_image.squeeze() if new_image.shape[-1] == 1
-                        else new_image).save(sample['image'])
+        side_px = int(np.round(cover_side * scale))
+        warped = _warp_image(image, camera, crop_cam, (side_px, side_px))
+        Image.fromarray(warped.squeeze() if warped.shape[-1] == 1
+                        else warped).save(sample['image'])
 
-    sample['bbox'] = new_bbox
-    sample['camera'] = new_cam
+    corner = cameralib.reproject_points(
+        sample['bbox'][None, :2], camera, crop_cam)[0]
+    sample['bbox'] = np.concatenate([corner, wh * scale])
+    sample['camera'] = crop_cam
     return sample
 
 
 def get_cmu_cameras(json_file, cam_names):
-    """31-camera CMU calibration: -R^T t eye point, world_up (0,-1,0)
-    (data_groups.py:73-92)."""
-    calibration = json.load(open(json_file))
-    cameras = [cam for cam in calibration['cameras'] if cam['panel'] == 0]
-    return dict(
-        (cam['name'],
-         cameralib.Camera(
-             -np.array(cam['R']).T @ np.array(cam['t']).reshape(3),
-             np.array(cam['R']),
-             np.array(cam['K']),
-             np.array(cam['distCoef']),
-             (0, -1, 0)))
-        for cam in cameras if cam['name'] in cam_names)
+    """HD-panel CMU calibration (behavioral spec: data_groups.py:73-92).
+    The calibration stores world->cam extrinsics [R|t]; the Camera ctor
+    wants the eye point, which is -R^T t. CMU's y axis points down, so
+    world_up is (0,-1,0)."""
+    with open(json_file) as f:
+        rig = json.load(f)['cameras']
+    wanted = set(cam_names)
+    cameras = {}
+    for entry in rig:
+        if entry['panel'] != 0 or entry['name'] not in wanted:
+            continue
+        R = np.asarray(entry['R'], np.float64)
+        t = np.asarray(entry['t'], np.float64).reshape(3)
+        cameras[entry['name']] = cameralib.Camera(
+            optical_center=-R.T @ t, rot_world_to_cam=R,
+            intrinsic_matrix=np.asarray(entry['K'], np.float64),
+            distortion_coeffs=np.asarray(entry['distCoef'], np.float64),
+            world_up=(0, -1, 0))
+    return cameras
 
 
 CMU_SEQUENCES = dict(
@@ -116,6 +138,12 @@ CMU_CAM_NAMES = [
     '00_00', '00_03', '00_05', '00_08', '00_09', '00_11', '00_12', '00_14',
     '00_15', '00_16', '00_18', '00_20', '00_21', '00_22', '00_23', '00_24',
     '00_25', '00_26', '00_27', '00_29']
+
+
+def _save_samples(root_path, samples):
+    with open(os.path.join(root_path, 'samples.pkl'), 'wb') as f:
+        pickle.dump(samples, f)
+    return samples
 
 
 def near_entry(pose, valid):
@@ -152,127 +180,124 @@ def get_cmu_group(phase, args, detector=None, decode=None):
             cam_names)
         root_skeleton = os.path.join(root_seq, 'hdPose3d_stage1_coco19')
 
-        prev_pose = dict()
-        for frame in range(time_window[sequence][0],
-                           time_window[sequence][1]):
-            bodies = os.path.join(
+        last_seen = dict()
+        lo, hi = time_window[sequence]
+        for frame in range(lo, hi):
+            anno_path = os.path.join(
                 root_skeleton, 'body3DScene_' + str(frame).zfill(8) + '.json')
-            if not os.path.exists(bodies):
+            if not os.path.exists(anno_path):
                 continue
-            bodies = json.load(open(bodies))['bodies']
+            bodies = json.load(open(anno_path)).get('bodies')
             if not bodies:
                 continue
 
             for body in bodies:
-                body_id = body['id']
-                body_pose = np.array(body['joints19']).reshape((-1, 4))
+                person = body['id']
+                joints = np.array(body['joints19']).reshape((-1, 4))
+                skeleton, confidence = joints[:, :3], joints[:, 3]
 
                 # skip near-static poses (<10mm displacement,
                 # data_groups.py:162-167)
-                if body_id in prev_pose:
-                    displacement = np.linalg.norm(
-                        prev_pose[body_id] - body_pose[:, :3], axis=1)
-                    if np.all(displacement < 10.0):
-                        continue
+                if person in last_seen and np.all(np.linalg.norm(
+                        last_seen[person] - skeleton, axis=1) < 10.0):
+                    continue
 
-                for cam_name in cam_names:
-                    image_path = os.path.join(
-                        cam_folders[cam_name],
-                        cam_name + '_' + str(frame).zfill(8) + '.jpg')
-                    if not os.path.exists(image_path):
-                        continue
-                    os.makedirs(down_path[cam_name], exist_ok=True)
+                reliable = (0.2 <= confidence)
+                if not near_entry(skeleton, reliable):
+                    for cam_name in cam_names:
+                        image_path = os.path.join(
+                            cam_folders[cam_name],
+                            cam_name + '_' + str(frame).zfill(8) + '.jpg')
+                        if not os.path.exists(image_path):
+                            continue
+                        os.makedirs(down_path[cam_name], exist_ok=True)
 
-                    image_coord = cameras[cam_name].world_to_image(
-                        body_pose[:, :3])
-                    new_path = os.path.join(
-                        down_path[cam_name],
-                        str(frame) + '.' + str(body_id) + '.jpg')
-                    valid = (0.2 <= body_pose[:, 3])
-                    if near_entry(body_pose[:, :3], valid):
-                        continue
+                        projected = cameras[cam_name].world_to_image(skeleton)
+                        guess = boxlib.bb_of_points(projected[reliable])
+                        image = decode(image_path)
+                        if hasattr(detector, 'set_candidates'):
+                            detector.set_candidates([guess])
+                        det = detect_bbox(image, guess, detector)
+                        if det is None:
+                            continue
+                        crop_path = os.path.join(
+                            down_path[cam_name],
+                            '{}.{}.jpg'.format(frame, person))
+                        samples.append(make_sample(
+                            dict(skeleton=skeleton, valid=reliable,
+                                 image=crop_path, bbox=det,
+                                 sequence=sequence),
+                            cameras[cam_name], image, args))
+                last_seen[person] = skeleton
 
-                    bbox = boxlib.bb_of_points(image_coord[valid])
-                    image = decode(image_path)
-                    if hasattr(detector, 'set_candidates'):
-                        detector.set_candidates([bbox])
-                    det = detect_bbox(image, bbox, detector)
-                    if det is None:
-                        continue
-                    sample = dict(skeleton=body_pose[:, :3], valid=valid,
-                                  image=new_path, bbox=det,
-                                  sequence=sequence)
-                    samples.append(make_sample(sample, cameras[cam_name],
-                                               image, args))
-                prev_pose[body_id] = body_pose[:, :3]
+            print('collecting samples [', str(lo), '-', str(frame), '-',
+                  str(hi), '] sequence', sequence)
 
-            print('collecting samples [', str(time_window[sequence][0]), '-',
-                  str(frame), '-', str(time_window[sequence][1]),
-                  '] sequence', sequence)
-
-    with open(os.path.join(args.data_root_path, 'samples.pkl'), 'wb') as file:
-        pickle.dump(samples, file)
-    return samples
+    return _save_samples(args.data_root_path, samples)
 
 
 # ------------------------------------------------------------------- H36M
 
 
 def load_coords(path, key_foots, stride):
-    """CDF 3D poses (data_groups.py:203-209); spacepy is offline-only and
-    gated."""
+    """H36M 3D poses from a CDF 'Pose' record (behavioral spec:
+    data_groups.py:203-209): record 0 holds (n_frames, 3*n_joints) flat mm
+    coordinates; return the total frame count plus the strided key_foots
+    joint subset. spacepy is offline-only and gated."""
     import spacepy.pycdf as pycdf
-    coords_raw = pycdf.CDF(path)['Pose']
-    coords_raw = np.array(coords_raw, np.float32)[0]
-    coords_raw = coords_raw.reshape((coords_raw.shape[0], -1, 3))
-    return coords_raw.shape[0], coords_raw[::stride, key_foots]
+    flat = np.asarray(pycdf.CDF(path)['Pose'], np.float32)[0]
+    n_frames = flat.shape[0]
+    joints = flat.reshape(n_frames, -1, 3)
+    return n_frames, joints[::stride, key_foots]
 
 
 def collect_data(root_part, activity, camera_id, stride):
-    """(data_groups.py:212-231)"""
-    from joint_settings import h36m_cam_names as cam_names
-    from joint_settings import h36m_key_foots as key_foots
+    """Gather one (activity, camera) shard's pose/image/bbox triple
+    (behavioral spec: data_groups.py:212-231). The CDF drives frame count;
+    images and bboxes are strided to match."""
+    from joint_settings import h36m_cam_names, h36m_key_foots
 
-    root_pose = os.path.join(root_part, 'MyPoseFeatures')
-    path_coords = os.path.join(root_pose, 'D3_Positions', activity + '.cdf')
-    n_frames, body_poses = load_coords(path_coords, key_foots, stride)
+    cam_suffix = h36m_cam_names[camera_id]
+    cdf_path = os.path.join(root_part, 'MyPoseFeatures', 'D3_Positions',
+                            activity + '.cdf')
+    n_frames, poses = load_coords(cdf_path, h36m_key_foots, stride)
 
-    root_image = os.path.join(root_part, 'Images',
-                              activity + '.' + cam_names[camera_id])
-    image_paths = ['frame_' + str(x).zfill(6) + '.jpg'
-                   for x in range(0, n_frames, stride)]
-    image_paths = [os.path.join(root_image, path) for path in image_paths]
+    image_dir = os.path.join(root_part, 'Images',
+                             '{}.{}'.format(activity, cam_suffix))
+    image_paths = [os.path.join(image_dir, 'frame_{:06d}.jpg'.format(i))
+                   for i in range(0, n_frames, stride)]
 
-    path_bbox = os.path.join(root_part, 'BBoxes',
-                             activity + '.' + cam_names[camera_id] + '.npy')
-    bboxes = np.load(path_bbox)[::stride]
-    return image_paths, body_poses, bboxes
+    bboxes = np.load(os.path.join(
+        root_part, 'BBoxes',
+        '{}.{}.npy'.format(activity, cam_suffix)))[::stride]
+    return image_paths, poses, bboxes
+
+
+# metadata.xml 'w0' blob layout: 4 cameras x 11 subjects x 6 extrinsic
+# values (rxyz Euler angles + eye point) followed by 4 cameras x 9
+# intrinsic values (fx fy cx cy k1 k2 k3 p1 p2) — data_groups.py:234-264
+_H36M_N_CAMS, _H36M_N_SUBJECTS = 4, 11
 
 
 def get_h36m_cameras(calib_file):
-    """Euler/distortion blobs from metadata.xml (data_groups.py:234-264)."""
+    """Parse H36M's metadata.xml single-blob calibration into a
+    [camera][subject] grid of Camera objects."""
+    blob = ElementTree.parse(calib_file).getroot().find('w0').text
+    values = np.array([float(v) for v in blob[1:-1].split(' ')])
+    n_ext = _H36M_N_CAMS * _H36M_N_SUBJECTS * 6
+    ext = values[:n_ext].reshape(_H36M_N_CAMS, _H36M_N_SUBJECTS, 6)
+    intr = values[n_ext:].reshape(_H36M_N_CAMS, 9)
 
-    def make_h36m_camera(extrinsics, intrinsics):
-        x_angle, y_angle, z_angle = extrinsics[0:3]
-        R = euler2mat(x_angle, y_angle, z_angle, 'rxyz')
-        t = extrinsics[3:6]
-        f = intrinsics[:2]
-        c = intrinsics[2:4]
-        k = intrinsics[4:7]
-        p = intrinsics[7:]
-        distorts = np.array([k[0], k[1], p[0], p[1], k[2]], np.float32)
-        intrinsic = np.array([[f[0], 0, c[0]], [0, f[1], c[1]], [0, 0, 1]],
-                             np.float32)
-        return cameralib.Camera(t, R, intrinsic, distorts)
+    def build(camera_id, subject):
+        eye = ext[camera_id, subject, 3:]
+        R = euler2mat(*ext[camera_id, subject, :3], 'rxyz')
+        fx, fy, cx, cy, k1, k2, k3, p1, p2 = intr[camera_id]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        dist = np.array([k1, k2, p1, p2, k3], np.float32)
+        return cameralib.Camera(eye, R, K, dist)
 
-    root = ElementTree.parse(calib_file).getroot()
-    cam_params_text = root.findall('w0')[0].text
-    numbers = np.array([float(x) for x in cam_params_text[1:-1].split(' ')])
-    extrinsic = numbers[:264].reshape(4, 11, 6)
-    intrinsic = numbers[264:].reshape(4, 9)
-    return [[make_h36m_camera(extrinsic[camera_id, partition],
-                              intrinsic[camera_id])
-             for partition in range(11)] for camera_id in range(4)]
+    return [[build(c, s) for s in range(_H36M_N_SUBJECTS)]
+            for c in range(_H36M_N_CAMS)]
 
 
 H36M_PARTITIONS = dict(train=[1, 5, 6, 7, 8], valid=[9, 11])
@@ -335,6 +360,4 @@ def get_h36m_group(phase, args, detector=None, decode=None):
                               image=new_path, bbox=det)
                 samples.append(make_sample(sample, camera, image, args))
 
-    with open(os.path.join(args.data_root_path, 'samples.pkl'), 'wb') as file:
-        pickle.dump(samples, file)
-    return samples
+    return _save_samples(args.data_root_path, samples)

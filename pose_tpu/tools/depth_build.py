@@ -29,67 +29,78 @@ NTU_JOINT_INDICES = [63, 4, 7, 38, 3, 6, 5, 47, 24, 27, 42, 17, 19, 67, 18,
 
 
 def get_cam_id(anno_file):
-    video_id = os.path.basename(anno_file).split('.')[0]
-    return video_id[:8]
+    # NTU file names lead with the setup+camera id (SsssCccc...)
+    return os.path.basename(anno_file).split('.')[0][:8]
 
 
-def sufficient_pose_change(prev_pose, current_pose):
-    """>= 3 joints moved >= 100mm (filter_ntu_samples.py:22-26)."""
-    if prev_pose is None:
-        return True
-    dists = np.linalg.norm(prev_pose - current_pose, axis=-1)
-    return np.sum(dists >= 100) >= 3
+class MotionGate:
+    """Admits a frame's poses only when they have moved enough since the
+    last admitted state of the same tracked person.
+
+    Behavioral spec from the reference (filter_ntu_samples.py:22-65),
+    re-derived vectorized: one `(slots, poses, joints)` travel tensor feeds
+    both the Hungarian assignment cost (nanmean over joints) and the
+    admission rule (>= `min_joints` joints travelled >= `min_travel` mm),
+    instead of per-pair python loops. Each tracked slot stores the last
+    *admitted* pose of one person — a rejected pose does not move its slot,
+    so slow drift accumulates until it finally clears the gate. Poses the
+    assignment leaves unmatched open fresh slots and are always admitted.
+    """
+
+    def __init__(self, min_travel=100.0, min_joints=3):
+        self.min_travel = min_travel
+        self.min_joints = min_joints
+        self._slots = []
+
+    def admit(self, poses):
+        """poses: sequence of (n_joints, 3) arrays -> (len(poses),) bool."""
+        admitted = np.ones(len(poses), dtype=bool)
+        if len(poses) == 0:
+            return admitted
+        if not self._slots:
+            self._slots = list(poses)
+            return admitted
+
+        travel = np.linalg.norm(
+            np.asarray(self._slots)[:, None] - np.asarray(poses)[None],
+            axis=-1)
+        slot_ids, pose_ids = scipy.optimize.linear_sum_assignment(
+            np.nanmean(travel, axis=-1))
+        cleared = (np.count_nonzero(
+            travel[slot_ids, pose_ids] >= self.min_travel, axis=-1)
+            >= self.min_joints)
+
+        admitted[pose_ids] = cleared
+        for slot, pose in zip(slot_ids[cleared], pose_ids[cleared]):
+            self._slots[slot] = poses[pose]
+        leftover = set(range(len(poses))) - set(pose_ids)
+        self._slots.extend(poses[i] for i in sorted(leftover))
+        return admitted
 
 
-def non_empty(pose):
+def has_coords(pose):
+    """A skeleton slot is populated iff it carries no NaN joints."""
     return not np.any(np.isnan(pose))
-
-
-def are_changes_sufficient_and_update(prev_poses, current_poses):
-    """Hungarian-match current to previous poses; keep only sufficiently
-    dissimilar matches; insert unmatched (filter_ntu_samples.py:33-65)."""
-    result = [True] * len(current_poses)
-    if not prev_poses:
-        prev_poses.extend(current_poses)
-        return result
-
-    def pose_distance(p1, p2):
-        return np.nanmean(np.linalg.norm(p1 - p2, axis=-1))
-
-    dist_matrix = np.array([[pose_distance(p1, p2) for p1 in current_poses]
-                            for p2 in prev_poses])
-    prev_indices, current_indices = scipy.optimize.linear_sum_assignment(
-        dist_matrix)
-
-    for pi, ci in zip(prev_indices, current_indices):
-        result[ci] = sufficient_pose_change(prev_poses[pi], current_poses[ci])
-        if result[ci]:
-            prev_poses[pi] = current_poses[ci]
-
-    for i, current_pose in enumerate(current_poses):
-        if i not in current_indices:
-            prev_poses.append(current_pose)
-    return result
 
 
 def _collect_motion_gated(skeleton_stream, camera):
     """Shared NTU/PKU inner loop: motion gate + visibility floor
     (filter_ntu_samples.py:85-99). skeleton_stream yields
-    (frame, [poses...], video_id)."""
+    (frame, [poses...], video_id); the gate state spans one stream."""
     samples = []
-    prev_poses = []
+    gate = MotionGate()
     for frame, cur_poses, video_id in skeleton_stream:
-        are_sufficient = are_changes_sufficient_and_update(prev_poses,
-                                                           cur_poses)
-        for idx in np.where(are_sufficient)[0]:
-            pose_coord = cur_poses[idx]
-            color_coord = camera.world_to_image(pose_coord)
-            bbox = boxlib.expand(boxlib.bb_of_points(color_coord), 1.25)
-            valid = (camera.is_visible(pose_coord, [1920, 1080])
-                     & (200.0 <= pose_coord[:, 2]))
-            if np.count_nonzero(valid) >= 15:
-                samples.append(dict(skeleton=pose_coord, valid=valid,
-                                    frame=frame, video=video_id, bbox=bbox))
+        for idx in np.flatnonzero(gate.admit(cur_poses)):
+            skeleton = cur_poses[idx]
+            projected = camera.world_to_image(skeleton)
+            reliable = (camera.is_visible(skeleton, [1920, 1080])
+                        & (200.0 <= skeleton[:, 2]))
+            if np.count_nonzero(reliable) < 15:
+                continue
+            samples.append(dict(
+                skeleton=skeleton, valid=reliable, frame=frame,
+                video=video_id,
+                bbox=boxlib.expand(boxlib.bb_of_points(projected), 1.25)))
     return samples
 
 
@@ -105,8 +116,8 @@ def filter_ntu_samples(anno_files, cam_id, camera, root_path):
 
         def stream():
             for frame in range(n_frames):
-                yield (frame, list(filter(non_empty, skeletons[:, frame])),
-                       video_id)
+                yield (frame, [p for p in skeletons[:, frame]
+                               if has_coords(p)], video_id)
 
         samples += _collect_motion_gated(stream(), camera)
 
@@ -141,13 +152,14 @@ def filter_ntu_main(root_path, skeleton_path, num_processes=6):
 # ------------------------------------------------------------------- PKU
 
 
-def kinect_to_box(camera, skel):
-    """Kinect-native skeleton -> projected box with the 1920-x mirror
-    (filter_pku_samples.py:22-26)."""
-    direction = np.array([1.0, -1.0, 1.0])
-    image_coords = camera.camera_to_image(np.multiply(skel, direction))
-    image_coords[:, 0] = 1920 - image_coords[:, 0]
-    return boxlib.bb_of_points(image_coords)
+def kinect_to_box(camera, skel, frame_width=1920):
+    """Kinect-native skeleton -> projected box (behavioral spec:
+    filter_pku_samples.py:22-26). The Kinect camera frame has y up and its
+    image is horizontally mirrored relative to the color stream, so negate
+    y before projecting and reflect x about the frame width."""
+    projected = camera.camera_to_image(np.asarray(skel) * [1.0, -1.0, 1.0])
+    projected[:, 0] = frame_width - projected[:, 0]
+    return boxlib.bb_of_points(projected)
 
 
 def reap_by_iou(infer_skels, kinect_skels, camera):
@@ -206,10 +218,7 @@ def filter_pku_samples(anno_file, camera, label_root, skeleton_root):
 
 
 def exclude(exclusions, anno_file):
-    for exc_file in exclusions:
-        if exc_file in anno_file:
-            return False
-    return True
+    return not any(excluded in anno_file for excluded in exclusions)
 
 
 def filter_pku_main(root, anno_path, label_root=None, skeleton_root=None,
@@ -227,15 +236,13 @@ def filter_pku_main(root, anno_path, label_root=None, skeleton_root=None,
                               world_up=(0, -1, 0))
 
     pool = multiprocessing.Pool(num_processes)
-    processes = [pool.apply_async(
+    handles = [pool.apply_async(
         func=filter_pku_samples,
         args=(f, camera, label_root, skeleton_root)) for f in anno_files]
     pool.close()
     pool.join()
+    samples = [s for handle in handles for s in handle.get()]
 
-    samples = []
-    for process in processes:
-        samples += process.get()
     with open(os.path.join(root, 'midway_samples.pkl'), 'wb') as file:
         pickle.dump(samples, file)
     return samples
@@ -261,15 +268,11 @@ def calibrate_depth_camera(anno_files, cam_id, sample_count=200, rng=None):
         coord_cam = anno['skel_body0'][frame] * np.array(
             [1000.0, -1000.0, 1000.0])                       # (25, 3)
 
-        for coords2d, coords3d in zip(coord_on_depth, coord_cam):
-            x, y = coords2d
-            x3, y3, z3 = coords3d
-            if z3 == 0:
+        for (u, v), (cx, cy, cz) in zip(coord_on_depth, coord_cam):
+            if cz == 0:
                 continue
-            rows_a.append([x3 / z3, 0, 1, 0])
-            rows_a.append([0, y3 / z3, 0, 1])
-            rows_b.append([x])
-            rows_b.append([y])
+            rows_a += [[cx / cz, 0, 1, 0], [0, cy / cz, 0, 1]]
+            rows_b += [[u], [v]]
 
     A = np.array(rows_a, np.float32)
     b = np.array(rows_b, np.float32)
@@ -303,44 +306,18 @@ def get_depth_cams_main(path, out_path=None):
 
 
 def make_depth_sample(sample, cameras, image, args):
-    """(depth_groups.py:16-59)"""
-    import copy as _copy
-
-    from PIL import Image as PILImage
+    """Depth-stack variant of the crop builder (depth_groups.py:16-59):
+    identical crop-camera construction (delegated to
+    dataset_build.make_sample) plus the color->depth bbox transfer and the
+    per-frame crop path under args.down_path."""
+    from .dataset_build import make_sample
 
     color_cam, depth_cam = cameras
-    box_center = boxlib.center(sample['bbox'])
-    depth_bbox = transfer_bbox(sample['bbox'], color_cam, depth_cam)
-
-    sine = np.sin(np.pi / 6)
-    cosine = np.cos(np.pi / 6)
-    expand_shape = (np.array([[cosine, sine], [sine, cosine]])
-                    @ sample['bbox'][2:, np.newaxis])
-    expand_side = np.max(expand_shape)
-    scale_factor = min(
-        args.side_in / np.max(sample['bbox'][2:]) / args.random_zoom, 1.0)
-    dest_side = int(np.round(expand_side * scale_factor))
-
-    new_cam = _copy.deepcopy(color_cam)
-    new_cam.shift_to_center(box_center, (expand_side, expand_side))
-    new_cam.scale_output(scale_factor)
-
-    new_bbox = cameralib.reproject_points(
-        sample['bbox'][None, :2], color_cam, new_cam)[0]
-    new_bbox = np.concatenate([new_bbox, sample['bbox'][2:] * scale_factor])
-
-    new_path = os.path.join(args.down_path, str(sample['frame']) + '.jpg')
-    if not os.path.exists(new_path):
-        import cameralib as shim
-        new_image = shim.reproject_image(image, color_cam, new_cam,
-                                         (dest_side, dest_side))
-        PILImage.fromarray(new_image).save(new_path)
-
-    sample['image'] = new_path
-    sample['bbox'] = new_bbox
-    sample['camera'] = new_cam
-    sample['depth_bbox'] = depth_bbox
-    return sample
+    sample['depth_bbox'] = transfer_bbox(sample['bbox'], color_cam,
+                                         depth_cam)
+    sample['image'] = os.path.join(args.down_path,
+                                   str(sample['frame']) + '.jpg')
+    return make_sample(sample, color_cam, image, args)
 
 
 def by_sequence(phase, sample_file):
