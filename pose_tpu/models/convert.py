@@ -78,17 +78,22 @@ def _to_numpy(tensor):
 
 
 def variables_from_torch(template_variables, torch_state, strict=False,
-                         verbose=True):
+                         verbose=True, report=None):
     """Fill a flax variables pytree from a torch state_dict.
 
     Keys present in the template but absent from torch_state keep their
     (randomly initialized) template values — mirroring the reference's
     `model_dict.update(toy_dict)` pattern (resnet.py:231). Shape-mismatched
     tensors raise (the surgeries below must run first).
+
+    `report`, if given a dict, is filled with the full ingestion audit:
+    'filled' (torch key -> flax path actually written), 'missing' (flax
+    paths left at template values, as torch-key strings) and 'unused'
+    (torch keys no template path consumed, num_batches_tracked excluded).
     """
     flat = traverse_util.flatten_dict(template_variables)
     torch_state = {k: _to_numpy(v) for k, v in torch_state.items()}
-    filled, missing = [], []
+    filled, missing = {}, []
 
     new_flat = {}
     for path, value in flat.items():
@@ -102,16 +107,18 @@ def variables_from_torch(template_variables, torch_state, strict=False,
                     f'{key}: torch shape {src.shape} vs flax {value.shape} '
                     f'at {"/".join(path)} — missing surgery?')
             new_flat[path] = src.astype(np.asarray(value).dtype)
-            filled.append(key)
+            filled[key] = path
         else:
             new_flat[path] = value
             missing.append(key)
 
+    unused = {k for k in set(torch_state) - set(filled)
+              if not k.endswith('num_batches_tracked')}
     if strict and missing:
         raise KeyError(f'missing torch keys: {missing}')
+    if report is not None:
+        report.update(filled=filled, missing=missing, unused=unused)
     if verbose:
-        unused = set(torch_state) - set(filled)
-        unused = {k for k in unused if not k.endswith('num_batches_tracked')}
         for key in sorted(unused):
             print('key [', key, '] deleted')
     return traverse_util.unflatten_dict(new_flat)
@@ -199,7 +206,7 @@ def save_torch_file(obj, path):
     torch.save(obj, path)
 
 
-def load_pretrained(template_variables, args, variant):
+def load_pretrained(template_variables, args, variant, report=None):
     """The full -pretrain / -depth_host warm-start path for a given model
     variant, mirroring resnet.py:213-262, depthnet.py:203-229,
     fusionnet.py:265-297, partial_depthnet.py:232-257."""
@@ -229,4 +236,4 @@ def load_pretrained(template_variables, args, variant):
                           load_torch_file(args.host_path)['model'].items()}
         toy = surgery_fusion_manual_update(toy, manual_src)
 
-    return variables_from_torch(template_variables, toy)
+    return variables_from_torch(template_variables, toy, report=report)
