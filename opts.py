@@ -86,6 +86,12 @@ def build_parser():
                         help='print (and host-sync) train losses every N '
                              'batches; 1 matches the reference console, 0 '
                              'disables per-batch prints entirely')
+    parser.add_argument('-strict_eval', action='store_true',
+                        help='use the bit-exact cv2-parity gather resampler '
+                             'at eval time instead of the TPU default MXU '
+                             'fast path (3.1x slower; the fast path costs a '
+                             'measured 0.17 mm cam_mean on a 469 mm metric '
+                             '- docs/ROUND2_NOTES.md item 8)')
     parser.add_argument('-save_state', action='store_true',
                         help='also write an orbax full-train-state sidecar '
                              'per epoch and restore it on -resume, making '

@@ -105,13 +105,21 @@ class PoseLoader:
         # fallback to mxu when split_band_ok rejects the homographies;
         # elsewhere the exact single-pass mxu path (XLA:CPU has no Pallas,
         # and the cv2-golden tests pin the single-pass semantics).
-        # POSE_TPU_EVAL_WARP selects the eval-time resampler: 'gather'
-        # (default) is strictly cv2-parity; 'mxu' trades a ~0.002 mean
-        # intensity deviation (ops/warp.py:125-148) for the fast two-pass
-        # matmul path when val_only throughput matters (VERDICT item 8).
+        # POSE_TPU_EVAL_WARP selects the eval-time resampler. 'gather' is
+        # strictly cv2-parity (reference remap semantics cameralib.py:696-
+        # 707); 'mxu' is the two-pass matmul path — 3.1x faster on chip
+        # (294 -> 921 img/s at bs64/512², docs/ROUND2_NOTES.md item 8) at a
+        # measured 0.17 mm cam_mean delta on a 469 mm metric. On TPU the
+        # fast path is the default; `-strict_eval` (or the env var) opts
+        # back into bit-exact gather. Off-TPU gather stays the default: the
+        # speed motive is TPU-only and the CPU test suite pins cv2 parity.
         default_impl = 'split' if jax.default_backend() == 'tpu' else 'mxu'
         self.warp_impl = os.environ.get('POSE_TPU_WARP', default_impl)
-        self.eval_warp_impl = os.environ.get('POSE_TPU_EVAL_WARP', 'gather')
+        default_eval = ('gather' if (getattr(args, 'strict_eval', False)
+                                     or jax.default_backend() != 'tpu')
+                        else 'mxu')
+        self.eval_warp_impl = os.environ.get('POSE_TPU_EVAL_WARP',
+                                             default_eval)
 
         # native C++ decode pool (threaded libjpeg, native/pose_loader.cc);
         # falls back to PIL per-sample decode when unavailable

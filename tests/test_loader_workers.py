@@ -50,6 +50,32 @@ def test_multi_producer_stream_identical(cmu):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_eval_warp_default_resolution(cmu, monkeypatch):
+    """Eval-resampler default policy (VERDICT round-2 item 6): 'mxu' on
+    TPU, 'gather' elsewhere; `-strict_eval` forces gather; the env var
+    overrides everything."""
+    from pose_tpu.data.loader import PoseLoader
+    from datasets import build_info
+
+    monkeypatch.delenv('POSE_TPU_EVAL_WARP', raising=False)
+
+    def impl_of(strict=False, env=None):
+        if env is not None:
+            monkeypatch.setenv('POSE_TPU_EVAL_WARP', env)
+        else:
+            monkeypatch.delenv('POSE_TPU_EVAL_WARP', raising=False)
+        args = make_args(cmu, 1)
+        args.strict_eval = strict
+        return PoseLoader(args, 'valid', build_info('cmu')).eval_warp_impl
+
+    import jax
+    default = 'mxu' if jax.default_backend() == 'tpu' else 'gather'
+    assert impl_of() == default
+    assert impl_of(strict=True) == 'gather'
+    assert impl_of(env='mxu') == 'mxu'
+    assert impl_of(strict=True, env='mxu') == 'mxu'  # env wins
+
+
 def test_eval_warp_mxu_close_to_gather(cmu, monkeypatch):
     """POSE_TPU_EVAL_WARP=mxu (VERDICT round-2 item 8, 3.1x faster eval on
     device) must produce eval inputs within the documented ~0.002 intensity

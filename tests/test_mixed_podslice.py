@@ -155,6 +155,68 @@ def test_distill_step_on_8_device_mesh(combined):
         assert len(leaf.sharding.device_set) == 8
 
 
+def test_fusion_step_on_8_device_mesh(combined):
+    """Config-3 fusion (two-stem) train step over the mesh: both modality
+    inputs sharded on 'data', params replicated (VERDICT r2 item 7)."""
+    import jax.numpy as jnp
+
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_batch, shard_replicated
+    from pose_tpu.train import steps
+
+    args = make_args(combined, 'ntu', do_fusion=True)
+    mesh = make_mesh(8)
+    model = build_model(args, 'fusion')
+    tx = steps.make_optimizer(args)
+    state = steps.init_state(model, args, tx,
+                             (jnp.ones((1, 65, 65, 3)),
+                              jnp.ones((1, 65, 65, 1))))
+    state = shard_replicated(mesh, state)
+    step = steps.make_fusion_train_step(model, args, 2, tx)
+
+    rng = np.random.RandomState(1)
+    batch = shard_batch(mesh, dict(
+        color=rng.rand(8, 65, 65, 3).astype(np.float32),
+        depth=rng.rand(8, 65, 65, 1).astype(np.float32),
+        true_cam=rng.uniform(-300, 300, (8, 17, 3)).astype(np.float32),
+        true_val=np.ones((8, 17), bool)))
+    for _ in range(2):
+        state, out = step(state, batch, 1e-4)
+    assert np.isfinite(float(out['cam_loss']))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_partial_conv_step_on_8_device_mesh(combined):
+    """Config-4 partial_depthnet train step over the mesh: the veil mask is
+    derived per-shard from the sharded depth input (VERDICT r2 item 7)."""
+    import jax.numpy as jnp
+
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_batch, shard_replicated
+    from pose_tpu.train import steps
+
+    args = make_args(combined, 'ntu', depth_only=True, partial_conv=True)
+    mesh = make_mesh(8)
+    model = build_model(args, 'partial_depth')
+    tx = steps.make_optimizer(args)
+    state = steps.init_state(model, args, tx, (jnp.ones((1, 65, 65, 1)),))
+    state = shard_replicated(mesh, state)
+    step = steps.make_vanilla_train_step(model, args, 2, tx)
+
+    rng = np.random.RandomState(2)
+    depth_in = (rng.rand(8, 65, 65, 1)
+                * (rng.rand(8, 65, 65, 1) > 0.4)).astype(np.float32)
+    batch = shard_batch(mesh, dict(
+        in_image=depth_in,
+        true_cam=rng.uniform(-300, 300, (8, 17, 3)).astype(np.float32),
+        true_val=np.ones((8, 17), bool)))
+    state, out = step(state, batch, 1e-4)
+    assert np.isfinite(float(out['cam_loss']))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_members_advance_epochs_and_streams_differ(combined):
     """MixedLoader must drive each member generator to StopIteration so the
     member's own end-of-epoch bookkeeping runs: epoch 2 must reshuffle and

@@ -45,14 +45,49 @@ class TorchBasicBlock(tnn.Module):
         return out if self.skip_relu else F.relu(out)
 
 
+class TorchBottleneck(tnn.Module):
+    """Reference Bottleneck (resnet.py:66-120): 1x1 / 3x3(stride, dilation) /
+    1x1-expand-4, BN after each, relu after the residual add."""
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=None, skip_relu=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                dilation=dilation, padding=dilation,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+        self.skip_relu = skip_relu
+
+    def forward(self, x):
+        res = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            res = self.downsample(x)
+        out = out + res
+        return out if self.skip_relu else F.relu(out)
+
+
 class TorchTrunk(tnn.Module):
-    """Matches PoseResNet(variant='rgb'|'depth', block='basic') layer naming."""
+    """Matches PoseResNet(variant='rgb'|'depth', block='basic'|'bottleneck')
+    layer naming."""
 
     def __init__(self, layers=(1, 1, 1, 1), in_ch=3, stride=16, num_joints=5,
-                 depth=4, joint_space=False, skip_relu=False, variant='rgb'):
+                 depth=4, joint_space=False, skip_relu=False, variant='rgb',
+                 block='basic'):
         super().__init__()
         s2, s3, s4, d2, d3, d4 = stage_schedule(stride)
         self.variant = variant
+        self.block_cls = (TorchBasicBlock if block == 'basic'
+                          else TorchBottleneck)
+        expansion = getattr(self.block_cls, 'expansion', 1)
         self.skip_relu = skip_relu and variant != 'rgb'
         self.conv1 = tnn.Conv2d(in_ch, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -62,27 +97,33 @@ class TorchTrunk(tnn.Module):
         self.layer2 = self._make_layer(128, layers[1], s2, d2)
         self.layer3 = self._make_layer(256, layers[2], s3, d3, self.skip_relu)
         self.layer4 = self._make_layer(512, layers[3], s4, d4, self.skip_relu)
+        head_in = 512 * expansion
         if variant == 'rgb':
-            self.cam_regressor = tnn.Conv2d(512, depth * num_joints, 3, padding=1)
-            self.mat_regressor = (tnn.Conv2d(512, num_joints, 3, padding=1)
+            self.cam_regressor = tnn.Conv2d(head_in, depth * num_joints, 3,
+                                            padding=1)
+            self.mat_regressor = (tnn.Conv2d(head_in, num_joints, 3, padding=1)
                                   if joint_space else None)
         else:
-            self.regressor = tnn.Conv2d(512, depth * num_joints, 3, padding=1)
+            self.regressor = tnn.Conv2d(head_in, depth * num_joints, 3,
+                                        padding=1)
 
     def _make_layer(self, planes, blocks, stride, dilation, skip_relu=False):
+        expansion = getattr(self.block_cls, 'expansion', 1)
         downsample = None
-        if stride != 1 or self.inplanes != planes:
+        if stride != 1 or self.inplanes != planes * expansion:
             downsample = tnn.Sequential(
-                tnn.Conv2d(self.inplanes, planes, 1, stride=stride, bias=False),
-                tnn.BatchNorm2d(planes))
-        layers = [TorchBasicBlock(self.inplanes, planes, stride, dilation,
-                                  downsample,
-                                  skip_relu if blocks == 1 else False)]
-        self.inplanes = planes
+                tnn.Conv2d(self.inplanes, planes * expansion, 1,
+                           stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * expansion))
+        layers = [self.block_cls(self.inplanes, planes, stride, dilation,
+                                 downsample,
+                                 skip_relu=skip_relu if blocks == 1
+                                 else False)]
+        self.inplanes = planes * expansion
         for i in range(1, blocks):
-            layers.append(TorchBasicBlock(self.inplanes, planes,
-                                          skip_relu=skip_relu if i == blocks - 1
-                                          else False))
+            layers.append(self.block_cls(self.inplanes, planes,
+                                         skip_relu=skip_relu
+                                         if i == blocks - 1 else False))
         return tnn.Sequential(*layers)
 
     def forward(self, x):
@@ -185,6 +226,49 @@ class TestTorchParity:
         fz, fmat = fm.apply(variables, jnp.asarray(x), train=False)
         np.testing.assert_allclose(np.asarray(fz), nhwc(tz), atol=2e-3)
         np.testing.assert_allclose(np.asarray(fmat), nhwc(tmat), atol=2e-3)
+
+    @pytest.mark.parametrize('stride', [16, 32])
+    def test_bottleneck_forward_matches_torch(self, stride):
+        """The flagship resnet50 is Bottleneck (reference resnet.py:66-120,
+        :239-262): 1x1/3x3/1x1 + expansion-4 downsample path, exercised at
+        the dilated stride-16 schedule the cmu_train.sh config runs."""
+        torch.manual_seed(2)
+        tm = TorchTrunk(layers=(1, 1, 1, 1), in_ch=3, stride=stride,
+                        num_joints=5, depth=4, joint_space=True,
+                        block='bottleneck').eval()
+        fm = PoseResNet(block='bottleneck', layers=(1, 1, 1, 1),
+                        variant='rgb', stride=stride, num_joints=5, depth=4,
+                        joint_space=True)
+        template = fm.init(jax.random.PRNGKey(0), jnp.ones((1, 65, 65, 3)),
+                           train=False)
+        variables = variables_from_torch(template, tm.state_dict(),
+                                         verbose=False)
+
+        x = np.random.RandomState(2).randn(2, 65, 65, 3).astype(np.float32)
+        with torch.no_grad():
+            tz, tmat = tm(torch.from_numpy(nchw(x)))
+        fz, fmat = fm.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(fz), nhwc(tz), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(fmat), nhwc(tmat), atol=2e-3)
+
+    def test_resnet50_depth_forward_matches_torch(self):
+        """Full resnet50 stage depths (3,4,6,3) through the converter:
+        multi-block stages exercise the inplanes=4*planes bookkeeping that
+        (1,1,1,1) trunks cannot."""
+        torch.manual_seed(3)
+        tm = TorchTrunk(layers=(3, 4, 6, 3), in_ch=3, stride=16,
+                        num_joints=5, depth=4, block='bottleneck').eval()
+        fm = PoseResNet(block='bottleneck', layers=(3, 4, 6, 3),
+                        variant='rgb', stride=16, num_joints=5, depth=4)
+        template = fm.init(jax.random.PRNGKey(0), jnp.ones((1, 33, 33, 3)),
+                           train=False)
+        variables = variables_from_torch(template, tm.state_dict(),
+                                         verbose=False)
+        x = np.random.RandomState(3).randn(1, 33, 33, 3).astype(np.float32)
+        with torch.no_grad():
+            tz = tm(torch.from_numpy(nchw(x)))
+        fz = fm.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(fz), nhwc(tz), atol=3e-3)
 
     def test_depth_skip_relu_forward_matches_torch(self):
         torch.manual_seed(1)
