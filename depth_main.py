@@ -76,6 +76,14 @@ def main():
     assert not (args.do_fusion and args.depth_only)
     assert not (args.depth_host and args.depth_only)
 
+    # multi-host scale-out (-dist_coord): join the cluster before any JAX
+    # backend use; only process 0 keeps the reference console/checkpoint IO
+    from pose_tpu.parallel import init_distributed, is_main_process
+    if init_distributed(args) and not is_main_process():
+        import os
+        import sys
+        sys.stdout = open(os.devnull, 'w')
+
     data_info = get_info()
     variant = model_variant(args)
 

@@ -64,6 +64,13 @@ def main():
     args = opts.args if opts.args is not None else opts.parse()
     assert args.do_track <= args.joint_space
 
+    # multi-host scale-out (-dist_coord): join the cluster before any JAX
+    # backend use; only process 0 keeps the reference console/checkpoint IO
+    from pose_tpu.parallel import init_distributed, is_main_process
+    if init_distributed(args) and not is_main_process():
+        import sys
+        sys.stdout = open(os.devnull, 'w')
+
     model = build_model(args, 'rgb')
 
     if args.test_only:

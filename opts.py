@@ -86,6 +86,16 @@ def build_parser():
                         help='print (and host-sync) train losses every N '
                              'batches; 1 matches the reference console, 0 '
                              'disables per-batch prints entirely')
+    parser.add_argument('-dist_coord', default=None,
+                        help='multi-host scale-out: coordinator host:port '
+                             '(process 0 binds it); launches this process '
+                             'into a jax.distributed cluster spanning every '
+                             "host's chips. Requires -dist_nprocs and "
+                             '-dist_rank. Env fallbacks: POSE_TPU_DIST_*')
+    parser.add_argument('-dist_nprocs', type=int, default=0,
+                        help='total process count of the distributed cluster')
+    parser.add_argument('-dist_rank', type=int, default=-1,
+                        help='this process\'s rank in [0, dist_nprocs)')
     parser.add_argument('-strict_eval', action='store_true',
                         help='use the bit-exact cv2-parity gather resampler '
                              'at eval time instead of the TPU default MXU '

@@ -328,8 +328,18 @@ class PoseLoader:
                 impl = 'mxu'
         return impl
 
-    def _pad_to_mesh(self, batch):
+    def _pad_to_mesh(self, batch, true_n=None, offset=0):
         n = len(batch['canvas'])
+        if jax.process_count() > 1:
+            # multi-process: _shard_indices already padded the GLOBAL batch
+            # to the mesh size and handed this process its contiguous block;
+            # here only the padded global rows (position >= true_n) that
+            # landed in this block get their loss/metric weight cleared
+            if offset + n > true_n:
+                keep = max(true_n - offset, 0)
+                batch['true_val'] = np.array(batch['true_val'])
+                batch['true_val'][keep:] = False
+            return batch, true_n
         m = self.mesh.devices.size
         if n % m == 0:
             return batch, n
@@ -341,14 +351,43 @@ class PoseLoader:
         out['true_val'][n:] = False  # padded rows carry no loss/metric weight
         return out, n
 
-    def _finalize(self, batch, i_batch):
-        batch, true_n = self._pad_to_mesh(batch)
+    def _shard_indices(self, batches):
+        """Multi-process batch slicing: every process builds the SAME global
+        index order (seeded shuffle), pads each global batch to the mesh
+        size by repeating the last index (the per-sample RNG is keyed on the
+        sample index, so a repeated index reproduces the single-process
+        padded row bit-exactly), and takes its contiguous block — the block
+        shard_batch reassembles into the global array. Returns
+        (local_batches, [(global_true_n, local_offset), ...])."""
+        nproc = jax.process_count()
+        if nproc == 1:
+            return batches, [(None, 0)] * len(batches)
+        m = self.mesh.devices.size
+        rank = jax.process_index()
+        local_batches, meta = [], []
+        for idxs in batches:
+            true_n = len(idxs)
+            padded = ((true_n + m - 1) // m) * m
+            idxs = np.concatenate(
+                [idxs, np.repeat(idxs[-1:], padded - true_n)])
+            loc = padded // nproc
+            off = rank * loc
+            local_batches.append(idxs[off:off + loc])
+            meta.append((true_n, off))
+        return local_batches, meta
+
+    def _finalize(self, batch, i_batch, true_n=None, offset=0):
+        batch, true_n = self._pad_to_mesh(batch, true_n, offset)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
         host_extras = {}
         for k in ('back_rotation',):
             if k in batch:
-                host_extras[k] = batch.pop(k)[:true_n]
+                v = batch.pop(k)
+                # multi-process: keep every local row (equal shapes across
+                # processes for the engine's process_allgather); the engine
+                # trims the gathered global array to _true_size
+                host_extras[k] = v if jax.process_count() > 1 else v[:true_n]
 
         if 'partial_homography' in batch:
             # distorted-source batch: general per-pixel lookup
@@ -399,6 +438,7 @@ class PoseLoader:
         order = self._order()
         bs = self.batch_size
         batches = [order[i:i + bs] for i in range(0, len(order), bs)]
+        batches, meta = self._shard_indices(batches)
         n_workers = max(getattr(self.args, 'workers', 1), 1)
 
         if n_workers == 1:
@@ -424,7 +464,7 @@ class PoseLoader:
                 if isinstance(item, BaseException):
                     raise item
                 i_batch, batch = item
-                yield self._finalize(batch, i_batch)
+                yield self._finalize(batch, i_batch, *meta[i_batch])
         else:
             # N producer threads build whole batches concurrently (the C++
             # decode pool and numpy release the GIL); a reorder buffer keeps
@@ -474,7 +514,7 @@ class PoseLoader:
                     avail.notify_all()
                 if isinstance(batch, BaseException):
                     raise batch
-                yield self._finalize(batch, i_batch)
+                yield self._finalize(batch, i_batch, *meta[i_batch])
 
         if not self.at_test:
             self.epoch += 1
@@ -658,14 +698,18 @@ class DepthPoseLoader(PoseLoader):
                                              image_coords, self.attention)
         return out
 
-    def _finalize(self, batch, i_batch):
-        batch, true_n = self._pad_to_mesh(batch)
+    def _finalize(self, batch, i_batch, true_n=None, offset=0):
+        batch, true_n = self._pad_to_mesh(batch, true_n, offset)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
         host_extras = {}
         for k in ('back_rotation',):
             if k in batch:
-                host_extras[k] = batch.pop(k)[:true_n]
+                v = batch.pop(k)
+                # multi-process: keep every local row (equal shapes across
+                # processes for the engine's process_allgather); the engine
+                # trims the gathered global array to _true_size
+                host_extras[k] = v if jax.process_count() > 1 else v[:true_n]
 
         if 'partial_homography' in batch:
             color_dev = shard_batch(self.mesh, {

@@ -10,19 +10,70 @@ TPU-native equivalent of DataParallel's implicit sync (SURVEY.md §5).
 
 The model is a CNN over fixed 257x257 crops — there is no sequence axis, so
 batch (dp) sharding is the scaling dimension at every practical pod size.
+
+Multi-host scale-out: `init_distributed` (wired to `-dist_coord
+-dist_nprocs -dist_rank`, or the POSE_TPU_DIST_* env vars) joins this
+process to a JAX distributed cluster before backend init; `jax.devices()`
+then spans every host's chips and the same mesh/jit code runs SPMD across
+hosts — each process feeds its contiguous block of the global batch
+(`shard_batch` routes through `make_array_from_process_local_data`) and
+only process 0 writes checkpoints/console (`is_main_process`). On CPU the
+cross-process collectives ride gloo (used by the 2-process tests); on TPU
+pods they ride ICI/DCN natively.
 """
+
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(args=None):
+    """Join a multi-process JAX cluster if configured; returns True if so.
+
+    Reads `-dist_coord host:port`, `-dist_nprocs N`, `-dist_rank R` (or env
+    POSE_TPU_DIST_COORD/NPROCS/RANK). Must run before any JAX backend use —
+    main.py/depth_main.py call it right after flag parsing. Single-process
+    runs (no coordinator configured) return False and touch nothing."""
+    coord = (getattr(args, 'dist_coord', None)
+             or os.environ.get('POSE_TPU_DIST_COORD'))
+    if not coord:
+        return False
+    nprocs = int(getattr(args, 'dist_nprocs', 0)
+                 or os.environ.get('POSE_TPU_DIST_NPROCS', 0))
+    rank = int(getattr(args, 'dist_rank', -1)
+               if getattr(args, 'dist_rank', -1) >= 0
+               else os.environ.get('POSE_TPU_DIST_RANK', -1))
+    assert nprocs > 0 and rank >= 0, (
+        '-dist_coord requires -dist_nprocs and -dist_rank')
+    # CPU cross-process collectives need the gloo transport. Set it
+    # unconditionally (it only affects the CPU client, and probing the
+    # backend here would initialize it before jax.distributed.initialize,
+    # which must come first).
+    jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nprocs, process_id=rank)
+    return True
+
+
+def is_main_process():
+    """True on the process that owns console/checkpoint IO (process 0;
+    trivially true single-process)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices=None, axis_name='data'):
-    """A 1-D data-parallel mesh over the first `n_devices` devices."""
+    """A 1-D data-parallel mesh over the first `n_devices` devices (global
+    across processes in a distributed run)."""
     devices = jax.devices()
     if n_devices is None or n_devices <= 0:
         n_devices = len(devices)
     n_devices = min(n_devices, len(devices))
+    if jax.process_count() > 1:
+        assert n_devices == len(devices), (
+            'multi-process meshes must span every device: a sub-mesh would '
+            'leave some processes with no addressable mesh devices')
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
@@ -38,8 +89,27 @@ def replicated_sharding(mesh):
 def shard_batch(mesh, batch, axis_name='data'):
     """Place a pytree of host arrays with the batch dim sharded over the mesh.
     The global batch must divide the mesh size (the loaders pad/crop to
-    multiples of it)."""
+    multiples of it).
+
+    Single-process: a plain sharded device_put. Multi-process: each process
+    passes only ITS contiguous block of the global batch (rows
+    [rank*local_n, (rank+1)*local_n) — the loaders slice this way) and the
+    pieces assemble into one global jax.Array per leaf; device order in the
+    mesh is process-major, so contiguous blocks preserve the global row
+    order."""
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def place(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already assembled into a global array
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sharding, x,
+                global_shape=(x.shape[0] * nproc,) + x.shape[1:])
+
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

@@ -252,11 +252,11 @@ class DepthTrainer(BaseTrainer):
             loss_avg += loss * b
             total += b
 
-            true_val = np.asarray(host_batch['true_val']).astype(bool)[:b]
-            color_br = np.asarray(host_batch['back_rotation'])
+            true_val = _to_host(host_batch['true_val']).astype(bool)[:b]
+            color_br = _to_host(host_batch['back_rotation'])[:b]
             spec_cam = back_rotate(color_br, out['spec_cam'][:b])
             true_cam = back_rotate(color_br,
-                                   np.asarray(host_batch['true_cam'])[:b])
+                                   _to_host(host_batch['true_cam'])[:b])
             if self.save_last:
                 os.makedirs(self.last_path, exist_ok=True)
                 save_array(spec_cam, i_batch, self.last_path)

@@ -27,6 +27,13 @@ class JointInfo:
 
 
 def _to_host(tree):
+    """Fetch device values to host numpy. Multi-process: batch-sharded eval
+    outputs span non-addressable devices, so they are gathered to full
+    replicas first (host numpy leaves — e.g. each process's back_rotation
+    rows — concatenate in process order = global batch order)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
@@ -194,11 +201,10 @@ class RgbTrainer(BaseTrainer):
             out = _to_host(self._eval_step(self.state, device_batch))
             loss_avg += float(out['cam_loss']) * b
             total += b
-            true_val = np.asarray(batch['true_val']).astype(bool)[:b]
-            spec_cam = back_rotate(batch['back_rotation'],
-                                   out['spec_cam'][:b])
-            true_cam = back_rotate(batch['back_rotation'],
-                                   np.asarray(batch['true_cam'])[:b])
+            true_val = _to_host(batch['true_val']).astype(bool)[:b]
+            rot = _to_host(batch['back_rotation'])[:b]
+            spec_cam = back_rotate(rot, out['spec_cam'][:b])
+            true_cam = back_rotate(rot, _to_host(batch['true_cam'])[:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -231,16 +237,15 @@ class RgbTrainer(BaseTrainer):
             print('| test Epoch[%d] [%d/%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
                   % (epoch, i, n_batches, cam_loss, mat_loss))
 
-            true_val = np.asarray(batch['true_val']).astype(bool)[:b]
+            true_val = _to_host(batch['true_val']).astype(bool)[:b]
             spec_mat = out['spec_mat'][:b]
-            true_mat = np.asarray(batch['true_mat'])[:b]
+            true_mat = _to_host(batch['true_mat'])[:b]
             mat_stats.append(metrics.analyze_mat(spec_mat, true_mat, true_val,
                                                  self.args.side_in))
 
-            spec_cam = back_rotate(batch['back_rotation'],
-                                   out['spec_cam'][:b])
-            true_cam = back_rotate(batch['back_rotation'],
-                                   np.asarray(batch['true_cam'])[:b])
+            rot = _to_host(batch['back_rotation'])[:b]
+            spec_cam = back_rotate(rot, out['spec_cam'][:b])
+            true_cam = back_rotate(rot, _to_host(batch['true_cam'])[:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -250,8 +255,8 @@ class RgbTrainer(BaseTrainer):
                 import jax.numpy as jnp
                 deter = np.asarray(recon_ops.recon_root(
                     jnp.asarray(spec_mat), jnp.asarray(out['relat_cam'][:b]),
-                    jnp.asarray(np.asarray(batch['intrinsics'])[:b])))
-                deter = back_rotate(batch['back_rotation'], deter)
+                    jnp.asarray(_to_host(batch['intrinsics'])[:b])))
+                deter = back_rotate(rot, deter)
                 det_stats.append(metrics.analyze(deter, true_cam, true_val,
                                                  self.data_info.mirror,
                                                  self.thresh))

@@ -13,6 +13,7 @@ import os
 
 from ..models.convert import (load_torch_file, save_torch_file,
                               variables_to_torch_state)
+from ..parallel import is_main_process
 
 
 class Logger:
@@ -39,6 +40,11 @@ class Logger:
     def record(self, epoch, train_recs, test_recs, variables):
         """variables: the model's flax variables pytree
         ({'params': ..., 'batch_stats': ...})."""
+        if not is_main_process():
+            # multi-host runs: params are replicated, so only process 0
+            # writes checkpoints/records (the paths would collide on a
+            # shared filesystem)
+            return
         self.state['epoch'] = epoch
 
         if train_recs:
