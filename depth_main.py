@@ -84,6 +84,9 @@ def main():
         import sys
         sys.stdout = open(os.devnull, 'w')
 
+    from pose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args)
+
     data_info = get_info()
     variant = model_variant(args)
 

@@ -71,6 +71,9 @@ def main():
         import sys
         sys.stdout = open(os.devnull, 'w')
 
+    from pose_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args)
+
     model = build_model(args, 'rgb')
 
     if args.test_only:

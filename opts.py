@@ -86,6 +86,12 @@ def build_parser():
                         help='print (and host-sync) train losses every N '
                              'batches; 1 matches the reference console, 0 '
                              'disables per-batch prints entirely')
+    parser.add_argument('-compile_cache', default=None,
+                        help='persistent XLA compilation-cache directory '
+                             '(default ~/.cache/pose_tpu/xla; "off" '
+                             'disables). Re-running the same model/flag/'
+                             'batch shape skips the minutes-long XLA '
+                             'compile.')
     parser.add_argument('-dist_coord', default=None,
                         help='multi-host scale-out: coordinator host:port '
                              '(process 0 binds it); launches this process '

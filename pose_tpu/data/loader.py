@@ -748,7 +748,10 @@ class DepthPoseLoader(PoseLoader):
             'homography': batch.pop('depth_homography'),
             'extent': batch.pop('depth_extent'),
             'k_inv': batch.pop('depth_k_inv')})
-        thresh = np.full((len(depth_dev['canvas']),), self.enhance_thresh,
+        # sized from the HOST rows (process-local in cluster mode;
+        # shard_batch scales it back to the global batch), not from the
+        # already-global depth_dev['canvas']
+        thresh = np.full((len(host_depth_homs),), self.enhance_thresh,
                          np.float32)
         if self.at_test:
             depth_impl = ('mxu' if self.eval_warp_impl == 'mxu'

@@ -24,24 +24,15 @@ def make_args(metadata_path):
         semi_teach=False, extra_channel=False, model='resnet18',
         depth_only=False, skip_relu=False, early_dist=False,
         thresh_solid=0.4, thresh_close=0.8, thresh_rough=1.2,
+        alpha_init=0.5, alpha_dest=0.1, alpha_span=10,
         print_freq=1)
 
 
-def main():
-    rank, nprocs, port, fixture, out_path = sys.argv[1:6]
-
-    from pose_tpu.parallel import init_distributed
-
-    dist_args = types.SimpleNamespace(
-        dist_coord='127.0.0.1:' + port, dist_nprocs=int(nprocs),
-        dist_rank=int(rank))
-    assert init_distributed(dist_args)
-
-    import jax
+def run_rgb_epoch(fixture):
+    """One cam train epoch + one eval epoch through the full Trainer/Loader
+    stack; returns the record dict. Runs identically single- or
+    multi-process (the callers differ only in init_distributed)."""
     import jax.numpy as jnp
-
-    assert jax.process_count() == int(nprocs), jax.process_count()
-    assert len(jax.devices()) == 8, jax.devices()
 
     from datasets import build_info
     from pose_tpu.data.loader import PoseLoader
@@ -54,19 +45,88 @@ def main():
     trainer = RgbTrainer(args, model, info)
     trainer.init_state((jnp.ones((1, args.side_in, args.side_in, 3)),))
 
-    train_loader = PoseLoader(args, 'train', info)
-    val_loader = PoseLoader(args, 'valid', info)
+    train_rec = trainer.cam_train(1, PoseLoader(args, 'train', info),
+                                  args.learn_rate)
+    test_rec = trainer.cam_test(1, PoseLoader(args, 'valid', info))
+    return {'train_loss': train_rec['cam_train_loss'],
+            'test_loss': test_rec['test_loss'],
+            'cam_mean': test_rec['cam_mean'],
+            'score_pck': test_rec['score_pck'],
+            'score_auc': test_rec['score_auc']}
 
-    train_rec = trainer.cam_train(1, train_loader, args.learn_rate)
-    test_rec = trainer.cam_test(1, val_loader)
 
+def run_distill_epoch(fixture):
+    """The privileged-information core — teacher+student distillation fed by
+    a real DepthPoseLoader epoch over the mesh (depth_train.py:161-283
+    analogue); returns the per-batch loss streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_main import get_info
+    from pose_tpu.data.loader import DepthPoseLoader
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_replicated
+    from pose_tpu.train import steps
+
+    args = make_args(fixture)
+    args.data_name = 'ntu'
+    args.num_joints = 17
+    args.do_teach = True
+    args.attention = True
+    args.do_freeze = False
+    args.sigmoid = False
+    args.bin_dist = False
+    info = get_info()
+    mesh = make_mesh(8)
+
+    model = build_model(args, 'depth')
+    teacher = build_model(args, 'depth')
+    tx = steps.make_optimizer(args)
+    state = shard_replicated(mesh, steps.init_state(
+        model, args, tx, (jnp.ones((1, 65, 65, 3)),)))
+    t_raw = teacher.init(jax.random.PRNGKey(3), jnp.ones((1, 65, 65, 3)),
+                         train=False)
+    teacher_vars = shard_replicated(
+        mesh, dict(params=t_raw['params'], batch_stats=t_raw['batch_stats']))
+    step = steps.make_distill_train_step(model, teacher, args,
+                                         info.key_index, tx,
+                                         teacher_is_fusion=False,
+                                         with_semi=False)
+
+    cam_losses, dist_losses = [], []
+    for batch in DepthPoseLoader(args, 'train', info, mesh=mesh):
+        device_batch = dict(color=batch['color'],
+                            true_cam=batch['true_cam'],
+                            true_val=batch['true_val'],
+                            atten_map=batch['atten_map'])
+        state, teacher_vars, out = step(state, teacher_vars, device_batch,
+                                        jnp.float32(1e-4), jnp.float32(0.5))
+        cam_losses.append(float(out['cam_loss']))
+        dist_losses.append(float(out['dist_loss']))
+    return {'cam_losses': cam_losses, 'dist_losses': dist_losses}
+
+
+def main():
+    rank, nprocs, port, fixture, out_path = sys.argv[1:6]
+    mode = sys.argv[6] if len(sys.argv) > 6 else 'rgb'
+
+    from pose_tpu.parallel import init_distributed
+
+    dist_args = types.SimpleNamespace(
+        dist_coord='127.0.0.1:' + port, dist_nprocs=int(nprocs),
+        dist_rank=int(rank))
+    assert init_distributed(dist_args)
+
+    import jax
+
+    assert jax.process_count() == int(nprocs), jax.process_count()
+    assert len(jax.devices()) == 8, jax.devices()
+
+    run = run_rgb_epoch if mode == 'rgb' else run_distill_epoch
+    result = dict(run(fixture))
+    result['rank'] = int(rank)
     with open(out_path, 'w') as f:
-        json.dump({'rank': int(rank),
-                   'train_loss': train_rec['cam_train_loss'],
-                   'test_loss': test_rec['test_loss'],
-                   'cam_mean': test_rec['cam_mean'],
-                   'score_pck': test_rec['score_pck'],
-                   'score_auc': test_rec['score_auc']}, f)
+        json.dump(result, f)
     print('worker %s done' % rank, flush=True)
 
 

@@ -41,23 +41,8 @@ def worker_env():
 
 def single_process_reference(cmu):
     """The same epoch in THIS process (conftest: 8 virtual devices)."""
-    import jax.numpy as jnp
-
-    from datasets import build_info
-    from pose_tpu.data.loader import PoseLoader
-    from pose_tpu.models import build_model
-    from pose_tpu.train.engine import RgbTrainer
-    from tests.mp_worker import make_args
-
-    args = make_args(cmu)
-    info = build_info('cmu')
-    model = build_model(args, 'rgb')
-    trainer = RgbTrainer(args, model, info)
-    trainer.init_state((jnp.ones((1, args.side_in, args.side_in, 3)),))
-    train_rec = trainer.cam_train(1, PoseLoader(args, 'train', info),
-                                  args.learn_rate)
-    test_rec = trainer.cam_test(1, PoseLoader(args, 'valid', info))
-    return train_rec, test_rec
+    from tests.mp_worker import run_rgb_epoch
+    return run_rgb_epoch(cmu)
 
 
 def test_two_process_training_matches_single_process(cmu, tmp_path):
@@ -86,17 +71,13 @@ def test_two_process_training_matches_single_process(cmu, tmp_path):
         assert np.isclose(results[0][key], results[1][key],
                           rtol=1e-6), (key, results)
 
-    ref_train, ref_test = single_process_reference(cmu)
-    globals()['_REF'] = (ref_train, ref_test)  # reused by the CLI test
+    ref = single_process_reference(cmu)
+    globals()['_REF'] = ref  # reused by the CLI test
     # same global batches, same device count and layout, same seeds: the
     # two-process run must reproduce the single-process epoch
-    assert np.isclose(results[0]['train_loss'],
-                      ref_train['cam_train_loss'], rtol=1e-5), (
-        results[0], ref_train)
-    assert np.isclose(results[0]['cam_mean'], ref_test['cam_mean'],
-                      rtol=1e-5), (results[0], ref_test)
-    assert np.isclose(results[0]['test_loss'], ref_test['test_loss'],
-                      rtol=1e-5)
+    for key in ('train_loss', 'test_loss', 'cam_mean'):
+        assert np.isclose(results[0][key], ref[key], rtol=1e-5), (
+            key, results[0], ref)
 
 
 def test_cli_two_process_run(cmu, tmp_path):
@@ -138,6 +119,57 @@ def test_cli_two_process_run(cmu, tmp_path):
     assert os.path.exists(os.path.join(save, 'resnet18-mp', 'best.pth'))
 
     if '_REF' in globals():  # -x runs the tests in order
-        _, ref_test = globals()['_REF']
-        assert np.isclose(float(spec[-1][0]), ref_test['cam_mean'],
-                          atol=0.005), (spec, ref_test)
+        ref = globals()['_REF']
+        assert np.isclose(float(spec[-1][0]), ref['cam_mean'],
+                          atol=0.005), (spec, ref)
+
+
+@pytest.fixture(scope='module')
+def ntu(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_ntu_fixture
+    root = tmp_path_factory.mktemp('mp_ntu')
+    return make_ntu_fixture(str(root), num_train=16, num_valid=8)
+
+
+def test_two_process_distillation_matches_single_process(ntu, tmp_path):
+    """The privileged-information core at scale: a DepthPoseLoader epoch
+    through the teacher+student distillation step as 2 processes x 4
+    devices must reproduce the single-process loss streams."""
+    port = free_port()
+    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
+    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), '2', str(port), ntu, outs[r],
+         'distill'],
+        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
+
+    results = [json.load(open(o)) for o in outs]
+    assert np.allclose(results[0]['cam_losses'], results[1]['cam_losses'],
+                       rtol=1e-6), results
+    assert np.allclose(results[0]['dist_losses'], results[1]['dist_losses'],
+                       rtol=1e-6), results
+
+    from tests.mp_worker import run_distill_epoch
+    ref = run_distill_epoch(ntu)
+    assert len(ref['cam_losses']) == 2
+    # vs single-process: the gloo cross-process all-reduce sums in a
+    # different order than XLA's single-process reduction, so the psum'd
+    # distill loss/grads carry ~1e-7 float noise that compounds through the
+    # step-1 Adam update into ~1e-5-scale step-2 loss differences (measured:
+    # 3.5e-5 rel). Rank-vs-rank above stays strict — both processes see the
+    # SAME reduction.
+    assert np.allclose(results[0]['cam_losses'], ref['cam_losses'],
+                       rtol=5e-4), (results[0], ref)
+    assert np.allclose(results[0]['dist_losses'], ref['dist_losses'],
+                       rtol=5e-4), (results[0], ref)
