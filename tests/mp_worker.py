@@ -106,6 +106,44 @@ def run_distill_epoch(fixture):
     return {'cam_losses': cam_losses, 'dist_losses': dist_losses}
 
 
+def run_mixed_epoch(fixture):
+    """BASELINE config 5 at cluster scale: the CMU-style mixed NTU+PKU
+    stream (MixedLoader interleave, seed-deterministic on every process)
+    through the vanilla depth train step; returns the per-batch loss stream
+    and the member interleave order."""
+    import jax.numpy as jnp
+
+    from depth_main import get_info
+    from pose_tpu.data.mixed import build_mixed_loader
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import make_mesh, shard_replicated
+    from pose_tpu.train import steps
+
+    args = make_args(fixture)
+    args.data_name = 'ntu'
+    args.num_joints = 17
+    info = get_info()
+    mesh = make_mesh(8)
+    loader = build_mixed_loader(args, 'train', info, ['ntu', 'pku'],
+                                metadata_path=fixture, mesh=mesh)
+
+    model = build_model(args, 'depth')
+    tx = steps.make_optimizer(args)
+    state = shard_replicated(mesh, steps.init_state(
+        model, args, tx, (jnp.ones((1, 65, 65, 3)),)))
+    step = steps.make_vanilla_train_step(model, args, info.key_index, tx)
+
+    losses, order = [], []
+    for batch in loader:
+        order.append(int(batch['_dataset']))
+        device_batch = dict(in_image=batch['color'],
+                            true_cam=batch['true_cam'],
+                            true_val=batch['true_val'])
+        state, out = step(state, device_batch, 1e-4)
+        losses.append(float(out['cam_loss']))
+    return {'losses': losses, 'order': order}
+
+
 def main():
     rank, nprocs, port, fixture, out_path = sys.argv[1:6]
     mode = sys.argv[6] if len(sys.argv) > 6 else 'rgb'
@@ -122,7 +160,8 @@ def main():
     assert jax.process_count() == int(nprocs), jax.process_count()
     assert len(jax.devices()) == 8, jax.devices()
 
-    run = run_rgb_epoch if mode == 'rgb' else run_distill_epoch
+    run = {'rgb': run_rgb_epoch, 'distill': run_distill_epoch,
+           'mixed': run_mixed_epoch}[mode]
     result = dict(run(fixture))
     result['rank'] = int(rank)
     with open(out_path, 'w') as f:

@@ -173,3 +173,56 @@ def test_two_process_distillation_matches_single_process(ntu, tmp_path):
                        rtol=5e-4), (results[0], ref)
     assert np.allclose(results[0]['dist_losses'], ref['dist_losses'],
                        rtol=5e-4), (results[0], ref)
+
+
+@pytest.fixture(scope='module')
+def combined(tmp_path_factory):
+    """Merged NTU+PKU metadata (the config-5 mixed stream)."""
+    from pose_tpu.data.synthetic import make_ntu_fixture, make_pku_fixture
+    root = tmp_path_factory.mktemp('mp_mix')
+    ntu_meta = make_ntu_fixture(str(root / 'ntu'), num_train=8, num_valid=4)
+    pku_meta = make_pku_fixture(str(root / 'pku'), num_train=8, num_valid=4)
+    merged = json.load(open(ntu_meta))
+    pku = json.load(open(pku_meta))
+    for key in ('root', 'loader', 'no_depth', 'thresholds'):
+        merged[key].update(pku[key])
+    path = str(root / 'metadata.json')
+    json.dump(merged, open(path, 'w'))
+    return path
+
+
+def test_two_process_mixed_stream_matches_single_process(combined, tmp_path):
+    """BASELINE config 5 ("pod-slice scale"): the mixed NTU+PKU stream as 2
+    processes — identical member interleave order on both ranks (the
+    MixedLoader RNG is seed-deterministic) and the loss stream matches the
+    single-process run."""
+    port = free_port()
+    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
+    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), '2', str(port), combined, outs[r],
+         'mixed'],
+        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
+
+    results = [json.load(open(o)) for o in outs]
+    assert results[0]['order'] == results[1]['order'], results
+    assert np.allclose(results[0]['losses'], results[1]['losses'],
+                       rtol=1e-6), results
+
+    from tests.mp_worker import run_mixed_epoch
+    ref = run_mixed_epoch(combined)
+    assert results[0]['order'] == ref['order'], (results[0], ref)
+    assert len(ref['losses']) == 2  # one NTU + one PKU batch
+    assert np.allclose(results[0]['losses'], ref['losses'],
+                       rtol=5e-4), (results[0], ref)
