@@ -315,6 +315,7 @@ class PoseLoader:
         the banded gate validates against (defaults to the colour canvas;
         the depth stream passes its own)."""
         impl = self.eval_warp_impl if self.at_test else self.warp_impl
+        gated = impl in ('pallas_banded', 'split', 'split_mxu')
         if impl == 'pallas_banded':
             from ..ops.warp_pallas import band_ok_v2
             if not band_ok_v2(np.asarray(homographies),
@@ -325,6 +326,17 @@ class PoseLoader:
             from ..ops.warp import split_band_ok
             if not split_band_ok(np.asarray(homographies),
                                  (self.side_in, self.side_in)):
+                impl = 'mxu'
+        if gated and jax.process_count() > 1:
+            # cluster mode: each process gated only its LOCAL rows, but
+            # every process must jit the SAME program over the global
+            # batch. Both gates are all-rows predicates, so the global
+            # decision is the AND of the local ones — one tiny allgather
+            # reproduces the single-process gate exactly (requires the
+            # same POSE_TPU_WARP env on every host).
+            from jax.experimental import multihost_utils
+            ok_here = np.int32(impl != 'mxu')
+            if not multihost_utils.process_allgather(ok_here).all():
                 impl = 'mxu'
         return impl
 

@@ -74,6 +74,12 @@ def make_mesh(n_devices=None, axis_name='data'):
         assert n_devices == len(devices), (
             'multi-process meshes must span every device: a sub-mesh would '
             'leave some processes with no addressable mesh devices')
+        assert len(jax.local_devices()) * jax.process_count() == len(
+            devices), (
+            'cluster mode requires an equal device count per process: the '
+            'loaders slice the global batch into equal contiguous blocks '
+            '(got %d local devices, %d processes, %d global devices)'
+            % (len(jax.local_devices()), jax.process_count(), len(devices)))
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
@@ -91,20 +97,28 @@ def shard_batch(mesh, batch, axis_name='data'):
     The global batch must divide the mesh size (the loaders pad/crop to
     multiples of it).
 
-    Single-process: a plain sharded device_put. Multi-process: each process
-    passes only ITS contiguous block of the global batch (rows
-    [rank*local_n, (rank+1)*local_n) — the loaders slice this way) and the
-    pieces assemble into one global jax.Array per leaf; device order in the
-    mesh is process-major, so contiguous blocks preserve the global row
-    order."""
+    Single-process: a plain sharded device_put. Multi-process: THE CONTRACT
+    CHANGES — each process must pass only ITS contiguous block of the
+    global batch (rows [rank*local_n, (rank+1)*local_n), the way the
+    loaders slice via _shard_indices), and the pieces assemble into one
+    global jax.Array per leaf of local_n * process_count rows; device order
+    in the mesh is process-major, so contiguous blocks preserve the global
+    row order. Passing the FULL global batch from every process in cluster
+    mode would silently duplicate each sample process_count times — size
+    host batches accordingly."""
     sharding = batch_sharding(mesh, axis_name)
     if jax.process_count() > 1:
         nproc = jax.process_count()
+        local_dev = len([d for d in mesh.devices.flat
+                         if d.process_index == jax.process_index()])
 
         def place(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
                 return x  # already assembled into a global array
             x = np.asarray(x)
+            assert x.shape[0] % max(local_dev, 1) == 0, (
+                'process-local batch block of %d rows does not divide this '
+                "process's %d mesh devices" % (x.shape[0], local_dev))
             return jax.make_array_from_process_local_data(
                 sharding, x,
                 global_shape=(x.shape[0] * nproc,) + x.shape[1:])

@@ -17,6 +17,7 @@ import jax
 
 from .. import metrics
 from . import schedules, steps
+from ..parallel import is_main_process
 from .engine import BaseTrainer, LossMeter, _to_host, back_rotate
 
 
@@ -252,12 +253,19 @@ class DepthTrainer(BaseTrainer):
             loss_avg += loss * b
             total += b
 
-            true_val = _to_host(host_batch['true_val']).astype(bool)[:b]
-            color_br = _to_host(host_batch['back_rotation'])[:b]
+            # one gather for every host-needed leaf (a per-leaf
+            # _to_host would cost one collective each in cluster mode)
+            host = _to_host(dict(true_val=host_batch['true_val'],
+                                 back_rotation=host_batch['back_rotation'],
+                                 true_cam=host_batch['true_cam']))
+            true_val = host['true_val'].astype(bool)[:b]
+            color_br = host['back_rotation'][:b]
             spec_cam = back_rotate(color_br, out['spec_cam'][:b])
-            true_cam = back_rotate(color_br,
-                                   _to_host(host_batch['true_cam'])[:b])
-            if self.save_last:
+            true_cam = back_rotate(color_br, host['true_cam'][:b])
+            if self.save_last and is_main_process():
+                # rank-0 gated like Logger.record: in cluster mode every
+                # process holds the identical gathered arrays and the dump
+                # paths would collide on a shared filesystem
                 os.makedirs(self.last_path, exist_ok=True)
                 save_array(spec_cam, i_batch, self.last_path)
                 # slice away mesh-padding rows so the feature dump stays

@@ -201,10 +201,15 @@ class RgbTrainer(BaseTrainer):
             out = _to_host(self._eval_step(self.state, device_batch))
             loss_avg += float(out['cam_loss']) * b
             total += b
-            true_val = _to_host(batch['true_val']).astype(bool)[:b]
-            rot = _to_host(batch['back_rotation'])[:b]
+            # one gather for every host-needed leaf (a per-leaf _to_host
+            # would cost one collective each in cluster mode)
+            host = _to_host(dict(true_val=batch['true_val'],
+                                 back_rotation=batch['back_rotation'],
+                                 true_cam=batch['true_cam']))
+            true_val = host['true_val'].astype(bool)[:b]
+            rot = host['back_rotation'][:b]
             spec_cam = back_rotate(rot, out['spec_cam'][:b])
-            true_cam = back_rotate(rot, _to_host(batch['true_cam'])[:b])
+            true_cam = back_rotate(rot, host['true_cam'][:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -237,15 +242,20 @@ class RgbTrainer(BaseTrainer):
             print('| test Epoch[%d] [%d/%d]  Cam Loss: %1.4f  Mat Loss: %1.4f'
                   % (epoch, i, n_batches, cam_loss, mat_loss))
 
-            true_val = _to_host(batch['true_val']).astype(bool)[:b]
+            host = _to_host(dict(true_val=batch['true_val'],
+                                 back_rotation=batch['back_rotation'],
+                                 true_cam=batch['true_cam'],
+                                 true_mat=batch['true_mat'],
+                                 intrinsics=batch['intrinsics']))
+            true_val = host['true_val'].astype(bool)[:b]
             spec_mat = out['spec_mat'][:b]
-            true_mat = _to_host(batch['true_mat'])[:b]
+            true_mat = host['true_mat'][:b]
             mat_stats.append(metrics.analyze_mat(spec_mat, true_mat, true_val,
                                                  self.args.side_in))
 
-            rot = _to_host(batch['back_rotation'])[:b]
+            rot = host['back_rotation'][:b]
             spec_cam = back_rotate(rot, out['spec_cam'][:b])
-            true_cam = back_rotate(rot, _to_host(batch['true_cam'])[:b])
+            true_cam = back_rotate(rot, host['true_cam'][:b])
             cam_stats.append(metrics.analyze(spec_cam, true_cam, true_val,
                                              self.data_info.mirror,
                                              self.thresh))
@@ -255,7 +265,7 @@ class RgbTrainer(BaseTrainer):
                 import jax.numpy as jnp
                 deter = np.asarray(recon_ops.recon_root(
                     jnp.asarray(spec_mat), jnp.asarray(out['relat_cam'][:b]),
-                    jnp.asarray(_to_host(batch['intrinsics'])[:b])))
+                    jnp.asarray(host['intrinsics'][:b])))
                 deter = back_rotate(rot, deter)
                 det_stats.append(metrics.analyze(deter, true_cam, true_val,
                                                  self.data_info.mirror,

@@ -21,17 +21,22 @@ DEFAULT_DIR = os.path.join(os.path.expanduser('~'), '.cache', 'pose_tpu',
 def enable_compile_cache(args=None, path=None):
     """Configure the persistent cache; returns the directory or None if
     disabled. Safe to call more than once."""
-    path = (path
-            or getattr(args, 'compile_cache', None)
-            or os.environ.get('POSE_TPU_COMPILE_CACHE')
-            or DEFAULT_DIR)
+    explicit = (path
+                or getattr(args, 'compile_cache', None)
+                or os.environ.get('POSE_TPU_COMPILE_CACHE'))
+    path = explicit or DEFAULT_DIR
     if str(path).lower() in ('off', 'none', ''):
         return None
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        # a read-only home or an old jax must never break training
+    except Exception as e:
+        # a read-only home or an old jax must never break training — but an
+        # EXPLICITLY requested cache dir failing deserves a visible warning
+        # (silently paying minutes-long recompiles defeats the flag)
+        if explicit:
+            print('=> WARNING: compile cache %r unavailable (%s); '
+                  'continuing without persistent cache' % (path, e))
         return None
     return path

@@ -3,7 +3,8 @@ data-parallel mesh run as TWO processes x 4 virtual CPU devices with gloo
 cross-process collectives — init_distributed, process-sliced loader batches
 reassembled by make_array_from_process_local_data, process_allgather eval,
 and rank-0 console/checkpoint gating — must reproduce the single-process
-8-device run exactly (same fixture, same seeds)."""
+8-device run (exactly rank-vs-rank; within cross-process reduction-order
+float noise vs single-process)."""
 
 import json
 import os
@@ -23,13 +24,6 @@ def free_port():
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope='module')
-def cmu(tmp_path_factory):
-    from pose_tpu.data.synthetic import make_cmu_fixture
-    root = tmp_path_factory.mktemp('mp_cmu')
-    return make_cmu_fixture(str(root), num_train=16, num_valid=8)
-
-
 def worker_env():
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -39,48 +33,69 @@ def worker_env():
     return env
 
 
-def single_process_reference(cmu):
-    """The same epoch in THIS process (conftest: 8 virtual devices)."""
-    from tests.mp_worker import run_rgb_epoch
-    return run_rgb_epoch(cmu)
-
-
-def test_two_process_training_matches_single_process(cmu, tmp_path):
-    port = free_port()
-    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
-    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), '2', str(port), cmu, outs[r]],
-        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
+def run_cluster(argv_per_rank, tmp_path, timeout=1500):
+    """Launch one subprocess per rank, wait, and return their stdout logs
+    (asserting clean exits). argv_per_rank: rank -> full argv list."""
+    procs = [subprocess.Popen(argv_per_rank(r), cwd=REPO, env=worker_env(),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for r in range(2)]
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         logs.append(out)
     assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
+    return logs
 
-    results = [json.load(open(o)) for o in outs]
+
+def run_workers(mode, fixture, tmp_path):
+    """Run tests/mp_worker.py on 2 ranks; returns both result dicts."""
+    port = free_port()
+    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
+    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
+    run_cluster(
+        lambda r: [sys.executable, worker, str(r), '2', str(port), fixture,
+                   outs[r], mode],
+        tmp_path)
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.fixture(scope='module')
+def cmu(tmp_path_factory):
+    from pose_tpu.data.synthetic import make_cmu_fixture
+    root = tmp_path_factory.mktemp('mp_cmu')
+    return make_cmu_fixture(str(root), num_train=16, num_valid=8)
+
+
+@pytest.fixture(scope='module')
+def rgb_reference(cmu):
+    """The same RGB epoch in THIS process (conftest: 8 virtual devices)."""
+    from tests.mp_worker import run_rgb_epoch
+    return run_rgb_epoch(cmu)
+
+
+def test_two_process_training_matches_single_process(cmu, rgb_reference,
+                                                     tmp_path):
+    results = run_workers('rgb', cmu, tmp_path)
     # the metric pipeline (allgathered on both) must agree across ranks
     for key in ('train_loss', 'test_loss', 'cam_mean', 'score_pck',
                 'score_auc'):
         assert np.isclose(results[0][key], results[1][key],
                           rtol=1e-6), (key, results)
 
-    ref = single_process_reference(cmu)
-    globals()['_REF'] = ref  # reused by the CLI test
     # same global batches, same device count and layout, same seeds: the
     # two-process run must reproduce the single-process epoch
     for key in ('train_loss', 'test_loss', 'cam_mean'):
-        assert np.isclose(results[0][key], ref[key], rtol=1e-5), (
-            key, results[0], ref)
+        assert np.isclose(results[0][key], rgb_reference[key],
+                          rtol=1e-5), (key, results[0], rgb_reference)
 
 
-def test_cli_two_process_run(cmu, tmp_path):
+def test_cli_two_process_run(cmu, rgb_reference, tmp_path):
     """The user-facing surface of cluster mode: `main.py -dist_coord ...`
     run twice — rank 0 owns the console and the checkpoint files, rank 1 is
     silent; the SPEC metrics match the single-process reference epoch."""
@@ -95,20 +110,10 @@ def test_cli_two_process_run(cmu, tmp_path):
             '-metadata_path', cmu, '-save_path', save,
             '-shuffle', '-save_record', '-geometry', '-colour',
             '-dist_coord', f'127.0.0.1:{port}', '-dist_nprocs', '2']
-    procs = [subprocess.Popen(
-        [sys.executable, 'main.py'] + base + ['-dist_rank', str(r)],
-        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(out)
-    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
+    logs = run_cluster(
+        lambda r: [sys.executable, 'main.py'] + base + ['-dist_rank',
+                                                        str(r)],
+        tmp_path)
 
     spec = re.findall(r'=>\[SPEC\] cam_mean: ([\d.]+)\s+\[pck\]: ([\d.]+)'
                       r'\s+\[auc\]: ([\d.]+)', logs[0])
@@ -118,10 +123,8 @@ def test_cli_two_process_run(cmu, tmp_path):
     assert os.path.exists(os.path.join(save, 'resnet18-mp', 'model_1.pth'))
     assert os.path.exists(os.path.join(save, 'resnet18-mp', 'best.pth'))
 
-    if '_REF' in globals():  # -x runs the tests in order
-        ref = globals()['_REF']
-        assert np.isclose(float(spec[-1][0]), ref['cam_mean'],
-                          atol=0.005), (spec, ref)
+    assert np.isclose(float(spec[-1][0]), rgb_reference['cam_mean'],
+                      atol=0.005), (spec, rgb_reference)
 
 
 @pytest.fixture(scope='module')
@@ -135,26 +138,7 @@ def test_two_process_distillation_matches_single_process(ntu, tmp_path):
     """The privileged-information core at scale: a DepthPoseLoader epoch
     through the teacher+student distillation step as 2 processes x 4
     devices must reproduce the single-process loss streams."""
-    port = free_port()
-    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
-    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), '2', str(port), ntu, outs[r],
-         'distill'],
-        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(out)
-    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
-
-    results = [json.load(open(o)) for o in outs]
+    results = run_workers('distill', ntu, tmp_path)
     assert np.allclose(results[0]['cam_losses'], results[1]['cam_losses'],
                        rtol=1e-6), results
     assert np.allclose(results[0]['dist_losses'], results[1]['dist_losses'],
@@ -196,26 +180,7 @@ def test_two_process_mixed_stream_matches_single_process(combined, tmp_path):
     processes — identical member interleave order on both ranks (the
     MixedLoader RNG is seed-deterministic) and the loss stream matches the
     single-process run."""
-    port = free_port()
-    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
-    worker = os.path.join(REPO, 'tests', 'mp_worker.py')
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), '2', str(port), combined, outs[r],
-         'mixed'],
-        cwd=REPO, env=worker_env(), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for r in (0, 1)]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(out)
-    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
-
-    results = [json.load(open(o)) for o in outs]
+    results = run_workers('mixed', combined, tmp_path)
     assert results[0]['order'] == results[1]['order'], results
     assert np.allclose(results[0]['losses'], results[1]['losses'],
                        rtol=1e-6), results
