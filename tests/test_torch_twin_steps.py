@@ -705,6 +705,98 @@ class TestLockstepTrajectory:
         assert final_rel < 5e-2, final_rel
 
 
+class TestLockstepDistill:
+    """Long-horizon equivalence of the privileged-information core: 25
+    identical-batch distillation steps (frozen teacher in train-mode BN
+    drifting its running stats, L2-norm feature distillation * alpha + cam
+    loss, depth_train.py:161-283) torch vs JAX in lockstep. Covers the
+    teacher-BN-drift feedback loop over a trajectory: each step's teacher
+    features depend on the stats drifted by every previous step."""
+
+    N_STEPS = 25
+
+    def test_25_step_total_loss_drift(self):
+        lr, alpha = 2e-5, 0.5
+        args = make_args()
+        model = build_small('depth', 3)
+        teacher = build_small('depth', 3)
+        s_vars = jax.device_get(model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, SIDE, SIDE, 3)),
+            train=False))
+        t_vars = jax.device_get(teacher.init(
+            jax.random.PRNGKey(7), jnp.ones((1, SIDE, SIDE, 3)),
+            train=False))
+        s_twin = load_twin(TorchTrunk(layers=(1, 1, 1, 1), stride=STRIDE,
+                                      num_joints=J, depth=D,
+                                      variant='depth'), s_vars)
+        t_twin = load_twin(TorchTrunk(layers=(1, 1, 1, 1), stride=STRIDE,
+                                      num_joints=J, depth=D,
+                                      variant='depth'), t_vars)
+        rng = np.random.RandomState(21)
+        batch = rand_batch(rng)
+        atten = rng.rand(B, 5, 5, 1).astype(np.float32)
+
+        tx = steps.make_optimizer(args)
+        state = steps.TrainState(params=s_vars['params'],
+                                 batch_stats=s_vars['batch_stats'],
+                                 opt_state=tx.init(s_vars['params']),
+                                 step=jnp.zeros((), jnp.int32))
+        step = steps.make_distill_train_step(model, teacher, args, 2, tx,
+                                             teacher_is_fusion=False,
+                                             with_semi=False)
+        teacher_vars = dict(params=t_vars['params'],
+                            batch_stats=t_vars['batch_stats'])
+        device_batch = dict(color=jnp.asarray(batch['image']),
+                            true_cam=jnp.asarray(batch['true_cam']),
+                            true_val=jnp.asarray(batch['true_val']),
+                            atten_map=jnp.asarray(atten))
+        jax_totals = []
+        for _ in range(self.N_STEPS):
+            state, teacher_vars, out = step(state, teacher_vars,
+                                            device_batch, jnp.float32(lr),
+                                            jnp.float32(alpha))
+            jax_totals.append(float(out['dist_loss']) * alpha
+                              + float(out['cam_loss']))
+
+        s_twin.train()
+        t_twin.train()                            # train-mode teacher BN
+        image = torch.from_numpy(nchw(batch['image']))
+        t_atten = torch.from_numpy(atten.transpose(0, 3, 1, 2))
+        true_cam = torch.from_numpy(batch['true_cam'])
+        valid = torch.from_numpy(batch['true_val'])
+        opt, torch_totals = None, []
+        for _ in range(self.N_STEPS):
+            with torch.no_grad():
+                _, teach_last = t_twin(image)     # drifts teacher stats
+            cam_feat, last = s_twin(image)
+            diff = (teach_last - last) * t_atten
+            d_loss = torch.norm(diff.reshape(B, -1), dim=-1).mean()
+            _, spec = t_spec_cam(cam_feat, true_cam, args.depth_range, 2)
+            c_loss = t_masked_loss(spec / args.loss_div,
+                                   true_cam / args.loss_div, valid)
+            total = d_loss * alpha + c_loss
+            torch_totals.append(float(total.detach()))
+            _, opt = torch_adam_step(s_twin, total, args, lr, opt=opt)
+
+        scale = torch_totals[0]
+        gaps = [abs(a - b) / scale
+                for a, b in zip(jax_totals, torch_totals)]
+        final_rel = (abs(jax_totals[-1] - torch_totals[-1])
+                     / abs(torch_totals[-1]))
+        print(f'\nlockstep distill: total gap / initial '
+              f'first={gaps[0]:.2e} max={max(gaps):.2e} '
+              f'last={gaps[-1]:.2e}; final rel={final_rel:.2e}')
+        print('  torch totals:',
+              ' '.join(f'{v:.4f}' for v in torch_totals[::4]))
+        print('  jax   totals:',
+              ' '.join(f'{v:.4f}' for v in jax_totals[::4]))
+        # distillation descends on both sides and drift stays bounded
+        assert torch_totals[-1] < torch_totals[0]
+        assert jax_totals[-1] < jax_totals[0]
+        assert max(gaps) < 5e-2, gaps
+        assert final_rel < 5e-2, final_rel
+
+
 class TestPartialDepthF64:
     """Pin the partial-conv twin's f32 deviation (6.9e-2 worst grad, see
     docs/PARITY.md) as BACKEND drift, not a formula difference: the same
