@@ -127,6 +127,45 @@ def test_cli_two_process_run(cmu, rgb_reference, tmp_path):
                       atol=0.005), (spec, rgb_reference)
 
 
+def test_cli_cluster_save_state_resume(cmu, tmp_path):
+    """-save_state under cluster mode: the orbax sidecar save/restore is a
+    COLLECTIVE under jax.distributed — every rank must participate
+    (orbax commits from the primary process; a rank-0-only gate would
+    deadlock the multihost barrier), and the shared save_path is the
+    contract (docs/ARCHITECTURE.md "Scale-out"). Resume then restores the
+    full TrainState on every rank so the continued run stays in lockstep."""
+    port = free_port()
+    save = str(tmp_path / 'save')
+    base = ['-suffix', 'mpst', '-criterion', 'SmoothL1', '-batch_size', '8',
+            '-side_in', '65', '-stride', '32', '-depth', '4',
+            '-n_cudas', '8', '-learn_rate', '1e-4',
+            '-model', 'resnet18', '-data_name', 'cmu', '-num_joints', '19',
+            '-metadata_path', cmu, '-save_path', save,
+            '-shuffle', '-save_record', '-save_state',
+            '-dist_nprocs', '2']
+    run_cluster(
+        lambda r: [sys.executable, 'main.py'] + base +
+        ['-n_epochs', '1', '-dist_coord', f'127.0.0.1:{port}',
+         '-dist_rank', str(r)],
+        tmp_path)
+    run_dir = os.path.join(save, 'resnet18-mpst')
+    sidecar = os.path.join(run_dir, 'orbax')
+    assert os.path.isdir(os.path.join(sidecar, '1')), os.listdir(run_dir)
+
+    port2 = free_port()
+    logs = run_cluster(
+        lambda r: [sys.executable, 'main.py'] + base +
+        ['-n_epochs', '2', '-resume',
+         '-model_path', os.path.join(run_dir, 'model_1.pth'),
+         '-dist_coord', f'127.0.0.1:{port2}', '-dist_rank', str(r)],
+        tmp_path)
+    assert '=> Restoring full train state from' in logs[0], logs[0]
+    assert os.path.exists(os.path.join(run_dir, 'model_2.pth'))
+    assert os.path.isdir(os.path.join(sidecar, '2')), os.listdir(sidecar)
+    # epoch 2's metrics print on rank 0 only
+    assert '[SPEC]' in logs[0] and '[SPEC]' not in logs[1]
+
+
 @pytest.fixture(scope='module')
 def ntu(tmp_path_factory):
     from pose_tpu.data.synthetic import make_ntu_fixture
