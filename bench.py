@@ -26,6 +26,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pose_tpu.utils.compile_cache import enable_compile_cache
+
+# persistent XLA compilation cache (POSE_TPU_COMPILE_CACHE=off to disable):
+# the bench program is identical run to run, so a later capture (e.g. the
+# driver's round-end one) skips the minutes-long remote compile and spends
+# its wall-clock inside the measured windows instead
+enable_compile_cache()
+
 REFERENCE_GPU_IPS = 240.0
 
 
