@@ -18,7 +18,7 @@ import jax
 from .. import metrics
 from . import schedules, steps
 from ..parallel import is_main_process
-from .engine import BaseTrainer, LossMeter, _to_host, back_rotate
+from .engine import BaseTrainer, LossMeter, _overlap, _to_host, back_rotate
 
 
 def load_metadata(args):
@@ -239,15 +239,20 @@ class DepthTrainer(BaseTrainer):
         n_batches = len(test_loader)
         loss_avg, total = 0.0, 0
         cam_stats = []
-        for i_batch, (b, device_batch, host_batch) in enumerate(
-                self._eval_batches(test_loader, fusion)):
-            out = self._eval_step(self.state,
-                                  self._shard(device_batch,
-                                              device_batch.keys()))
-            if not self.save_last:
-                # last_feat is a full feature map per batch; don't pay the
-                # device->host transfer unless -save_last will write it
-                out = {k: v for k, v in out.items() if k != 'last_feat'}
+
+        def dispatched():
+            for i_batch, (b, device_batch, host_batch) in enumerate(
+                    self._eval_batches(test_loader, fusion)):
+                out = self._eval_step(self.state,
+                                      self._shard(device_batch,
+                                                  device_batch.keys()))
+                if not self.save_last:
+                    # last_feat is a full feature map per batch; don't pay
+                    # the device->host transfer unless -save_last writes it
+                    out = {k: v for k, v in out.items() if k != 'last_feat'}
+                yield i_batch, b, host_batch, out
+
+        for i_batch, b, host_batch, out in _overlap(dispatched()):
             out = _to_host(out)
             loss = float(out['cam_loss'])
             loss_avg += loss * b

@@ -26,6 +26,24 @@ class JointInfo:
         self.key_index = key_index
 
 
+def _overlap(dispatched):
+    """One-deep software pipeline over an eval epoch: pull item i+1 from
+    `dispatched` (whose body shards the batch and dispatches the jitted eval
+    step — both asynchronous) BEFORE yielding item i to the host-side
+    metrics/console work. The device then computes batch i+1 while the host
+    reduces batch i; without this the two serialize (the reference's
+    DataLoader+GPU pipeline got the same overlap from CUDA async queues,
+    train.py:268-301). Keeps exactly one batch in flight, so device memory
+    holds at most two eval outputs."""
+    pending = None
+    for item in dispatched:
+        if pending is not None:
+            yield pending
+        pending = item
+    if pending is not None:
+        yield pending
+
+
 def _to_host(tree):
     """Fetch device values to host numpy. Multi-process: batch-sharded eval
     outputs span non-addressable devices, so they are gathered to full
@@ -117,6 +135,7 @@ class RgbTrainer(BaseTrainer):
         key = data_info.key_index
         self._cam_step = None
         self._joint_steps = {}
+        self._recon_step = None
         self._eval_step = steps.make_rgb_eval_step(model, args, key)
 
     def _get_cam_step(self):
@@ -195,10 +214,16 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(test_loader)
         loss_avg, total = 0.0, 0
         cam_stats = []
-        for i, batch in enumerate(test_loader):
-            b = self._size(batch, 'image')
-            device_batch = self._shard(batch, ('image', 'true_cam', 'true_val'))
-            out = _to_host(self._eval_step(self.state, device_batch))
+
+        def dispatched():
+            for i, batch in enumerate(test_loader):
+                b = self._size(batch, 'image')
+                device_batch = self._shard(
+                    batch, ('image', 'true_cam', 'true_val'))
+                yield i, b, batch, self._eval_step(self.state, device_batch)
+
+        for i, b, batch, out in _overlap(dispatched()):
+            out = _to_host(out)
             loss_avg += float(out['cam_loss']) * b
             total += b
             # one gather for every host-needed leaf (a per-leaf _to_host
@@ -228,12 +253,30 @@ class RgbTrainer(BaseTrainer):
         cam_avg = mat_avg = 0.0
         total = 0
         mat_stats, cam_stats, det_stats = [], [], []
-        for i, batch in enumerate(test_loader):
-            b = self._size(batch, 'image')
-            device_batch = self._shard(
-                batch, ('image', 'true_cam', 'true_val', 'true_mat',
-                        'intrinsics'))
-            out = _to_host(self._eval_step(self.state, device_batch))
+        do_track = self.args.do_track
+        if do_track and self._recon_step is None:
+            from ..ops import recon as recon_ops
+            self._recon_step = jax.jit(recon_ops.recon_root)
+
+        def dispatched():
+            for i, batch in enumerate(test_loader):
+                b = self._size(batch, 'image')
+                device_batch = self._shard(
+                    batch, ('image', 'true_cam', 'true_val', 'true_mat',
+                            'intrinsics'))
+                out = self._eval_step(self.state, device_batch)
+                if do_track:
+                    # root reconstruction stays on device, dispatched with
+                    # the step (utils.py:296-332 get_deter_cam); mesh-padded
+                    # rows can hold singular intrinsics -> NaN, sliced off
+                    # with the rest of the padding after the fetch
+                    out = dict(out, deter_cam=self._recon_step(
+                        out['spec_mat'], out['relat_cam'],
+                        device_batch['intrinsics']))
+                yield i, b, batch, out
+
+        for i, b, batch, out in _overlap(dispatched()):
+            out = _to_host(out)
             cam_loss = float(out['cam_loss'])
             mat_loss = float(out['mat_loss'])
             cam_avg += cam_loss * b
@@ -245,8 +288,7 @@ class RgbTrainer(BaseTrainer):
             host = _to_host(dict(true_val=batch['true_val'],
                                  back_rotation=batch['back_rotation'],
                                  true_cam=batch['true_cam'],
-                                 true_mat=batch['true_mat'],
-                                 intrinsics=batch['intrinsics']))
+                                 true_mat=batch['true_mat']))
             true_val = host['true_val'].astype(bool)[:b]
             spec_mat = out['spec_mat'][:b]
             true_mat = host['true_mat'][:b]
@@ -260,13 +302,8 @@ class RgbTrainer(BaseTrainer):
                                              self.data_info.mirror,
                                              self.thresh))
 
-            if self.args.do_track:
-                from ..ops import recon as recon_ops
-                import jax.numpy as jnp
-                deter = np.asarray(recon_ops.recon_root(
-                    jnp.asarray(spec_mat), jnp.asarray(out['relat_cam'][:b]),
-                    jnp.asarray(host['intrinsics'][:b])))
-                deter = back_rotate(rot, deter)
+            if do_track:
+                deter = back_rotate(rot, out['deter_cam'][:b])
                 det_stats.append(metrics.analyze(deter, true_cam, true_val,
                                                  self.data_info.mirror,
                                                  self.thresh))

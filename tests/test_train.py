@@ -233,6 +233,54 @@ class TestLoaderFixture:
                                    np.asarray(second['image']))
 
 
+class TestJointTestDoTrack:
+    """The -do_track DETER eval path (reference train.py:268-301 printing,
+    utils.py:296-332 get_deter_cam): the root reconstruction runs on device,
+    dispatched alongside the pipelined eval step (engine._overlap), and the
+    mesh-padding rows (singular zero intrinsics -> NaN) are sliced off after
+    the fetch."""
+
+    @pytest.fixture(scope='class')
+    def cmu(self, tmp_path_factory):
+        from pose_tpu.data.synthetic import make_cmu_fixture
+        root = tmp_path_factory.mktemp('cmu_track')
+        return make_cmu_fixture(str(root), num_train=6, num_valid=6)
+
+    def test_deter_metrics_and_spec_invariance(self, cmu):
+        from datasets import build_info
+        from pose_tpu.data.loader import PoseLoader
+        from pose_tpu.models import build_model
+        from pose_tpu.train.engine import RgbTrainer
+        from tests.mp_worker import make_args as cluster_args
+
+        args = cluster_args(cmu)
+        args.joint_space = True
+        args.do_track = True
+        # 6 valid samples into batch_size 8 on the 8-device mesh: the last
+        # batch carries 2 padded rows straight through the device-side
+        # reconstruction solve
+        info = build_info('cmu')
+        model = build_model(args, 'rgb')
+        trainer = RgbTrainer(args, model, info)
+        trainer.init_state((jnp.ones((1, args.side_in, args.side_in, 3)),))
+
+        rec_track = trainer.joint_test(1, PoseLoader(args, 'valid', info))
+        for key in ('recon_cam_mean', 'recon_score_pck', 'recon_score_auc'):
+            assert key in rec_track and np.isfinite(rec_track[key]), key
+        assert rec_track['recon_cam_mean'] > 0
+
+        # the pipelined loop must be deterministic and ordered
+        rec_again = trainer.joint_test(1, PoseLoader(args, 'valid', info))
+        assert rec_again == rec_track
+
+        # DETER is additive-only: every non-recon metric is unchanged
+        args.do_track = False
+        rec_plain = trainer.joint_test(1, PoseLoader(args, 'valid', info))
+        assert not any(k.startswith('recon_') for k in rec_plain)
+        for key in rec_plain:
+            assert rec_plain[key] == rec_track[key], key
+
+
 class TestDistillTeacherBN:
     """Teacher BN semantics in distillation (depth_train.py:156-158): without
     -do_freeze the torch teacher stays in train mode under no_grad, so it
