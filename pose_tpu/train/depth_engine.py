@@ -103,16 +103,25 @@ class DepthTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
-        for i_batch, batch in enumerate(data_loader):
-            in_image = (batch['depth'] if self.args.depth_only
-                        else batch['color'])
-            device_batch = dict(in_image=in_image,
-                                true_cam=batch['true_cam'],
-                                true_val=batch['true_val'])
-            b = self._size(batch, 'color')
-            self.state, out = self._vanilla_step(
-                self.state, self._shard(device_batch, device_batch.keys()), lr)
-            meter.add(out, b)
+
+        # delayed console print: step i+1 dispatches before batch i's
+        # float() fetch (engine._overlap), keeping the device busy across
+        # the per-line host sync; console text/order unchanged
+        def dispatched():
+            for i_batch, batch in enumerate(data_loader):
+                in_image = (batch['depth'] if self.args.depth_only
+                            else batch['color'])
+                device_batch = dict(in_image=in_image,
+                                    true_cam=batch['true_cam'],
+                                    true_val=batch['true_val'])
+                b = self._size(batch, 'color')
+                self.state, out = self._vanilla_step(
+                    self.state,
+                    self._shard(device_batch, device_batch.keys()), lr)
+                meter.add(out, b)
+                yield i_batch, out
+
+        for i_batch, out in _overlap(dispatched()):
             if freq and i_batch % freq == 0:
                 print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
                       % (epoch, i_batch, n_batches, float(out['cam_loss'])),
@@ -128,14 +137,21 @@ class DepthTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
-        for i_batch, batch in enumerate(data_loader):
-            device_batch = dict(color=batch['color'], depth=batch['depth'],
-                                true_cam=batch['true_cam'],
-                                true_val=batch['true_val'])
-            b = self._size(batch, 'color')
-            self.state, out = self._fusion_step(
-                self.state, self._shard(device_batch, device_batch.keys()), lr)
-            meter.add(out, b)
+
+        def dispatched():
+            for i_batch, batch in enumerate(data_loader):
+                device_batch = dict(color=batch['color'],
+                                    depth=batch['depth'],
+                                    true_cam=batch['true_cam'],
+                                    true_val=batch['true_val'])
+                b = self._size(batch, 'color')
+                self.state, out = self._fusion_step(
+                    self.state,
+                    self._shard(device_batch, device_batch.keys()), lr)
+                meter.add(out, b)
+                yield i_batch, out
+
+        for i_batch, out in _overlap(dispatched()):
             if freq and i_batch % freq == 0:
                 print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
                       % (epoch, i_batch, n_batches, float(out['cam_loss'])))
@@ -157,30 +173,37 @@ class DepthTrainer(BaseTrainer):
         freq = getattr(self.args, 'print_freq', 1)
         cam_meter = LossMeter(('cam_loss',))
         dist_meter = LossMeter(('dist_loss',))
-        for i_batch, batch in enumerate(data_loader):
-            full_batch = self._size(batch, 'color')
-            device_batch = dict(color=batch['color'], depth=batch['depth'],
-                                true_cam=batch['true_cam'],
-                                true_val=batch['true_val'],
-                                atten_map=batch['atten_map'])
-            if self.args.semi_teach:
-                semi = self._next_semi_batch()
-                semi_batch = semi.get('_true_size', len(semi['color']))
-                semi_device = dict(color=semi['color'], depth=semi['depth'],
-                                   atten_map=semi['atten_map'])
-                self.state, self.teacher_vars, out = self._distill_step(
-                    self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
-                    lr, alpha, self._shard(semi_device, semi_device.keys()))
-            else:
-                self.state, self.teacher_vars, out = self._distill_step(
-                    self.state, self.teacher_vars, self._shard(device_batch, device_batch.keys()),
-                    lr, alpha)
 
-            cam_meter.add(out, full_batch)
-            dist_meter.add({'dist_loss': out['dist_loss']}, full_batch)
-            if self.args.semi_teach:
-                dist_meter.add({'dist_loss': out['semi_loss']}, semi_batch)
+        def dispatched():
+            for i_batch, batch in enumerate(data_loader):
+                full_batch = self._size(batch, 'color')
+                device_batch = dict(color=batch['color'],
+                                    depth=batch['depth'],
+                                    true_cam=batch['true_cam'],
+                                    true_val=batch['true_val'],
+                                    atten_map=batch['atten_map'])
+                sharded = self._shard(device_batch, device_batch.keys())
+                if self.args.semi_teach:
+                    semi = self._next_semi_batch()
+                    semi_batch = semi.get('_true_size', len(semi['color']))
+                    semi_device = dict(color=semi['color'],
+                                       depth=semi['depth'],
+                                       atten_map=semi['atten_map'])
+                    self.state, self.teacher_vars, out = self._distill_step(
+                        self.state, self.teacher_vars, sharded, lr, alpha,
+                        self._shard(semi_device, semi_device.keys()))
+                else:
+                    self.state, self.teacher_vars, out = self._distill_step(
+                        self.state, self.teacher_vars, sharded, lr, alpha)
 
+                cam_meter.add(out, full_batch)
+                dist_meter.add({'dist_loss': out['dist_loss']}, full_batch)
+                if self.args.semi_teach:
+                    dist_meter.add({'dist_loss': out['semi_loss']},
+                                   semi_batch)
+                yield i_batch, out
+
+        for i_batch, out in _overlap(dispatched()):
             if freq and i_batch % freq == 0:
                 message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
                     epoch, i_batch, n_batches)

@@ -162,11 +162,21 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
-        for i, batch in enumerate(data_loader):
-            b = self._size(batch, 'image')
-            device_batch = self._shard(batch, ('image', 'true_cam', 'true_val'))
-            self.state, out = step(self.state, device_batch, lr)
-            meter.add(out, b)
+
+        # the consumer's float() fetch for the console line is the only
+        # per-step host sync; _overlap dispatches step i+1 first, so the
+        # device trains batch i+1 while the host waits on batch i's loss
+        # (console text/order unchanged)
+        def dispatched():
+            for i, batch in enumerate(data_loader):
+                b = self._size(batch, 'image')
+                device_batch = self._shard(
+                    batch, ('image', 'true_cam', 'true_val'))
+                self.state, out = step(self.state, device_batch, lr)
+                meter.add(out, b)
+                yield i, out
+
+        for i, out in _overlap(dispatched()):
             if freq and i % freq == 0:
                 print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
                       % (epoch, i, n_batches, float(out['cam_loss'])))
@@ -180,13 +190,18 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss', 'mat_loss', 'recon_loss'))
-        for i, batch in enumerate(data_loader):
-            b = self._size(batch, 'image')
-            device_batch = self._shard(
-                batch, ('image', 'true_cam', 'true_val', 'true_mat',
-                        'intrinsics'))
-            self.state, out = step(self.state, device_batch, lr)
-            meter.add(out, b)
+
+        def dispatched():
+            for i, batch in enumerate(data_loader):
+                b = self._size(batch, 'image')
+                device_batch = self._shard(
+                    batch, ('image', 'true_cam', 'true_val', 'true_mat',
+                            'intrinsics'))
+                self.state, out = step(self.state, device_batch, lr)
+                meter.add(out, b)
+                yield i, out
+
+        for i, out in _overlap(dispatched()):
             if freq and i % freq == 0:
                 message = '| train Epoch[%d] [%d/%d]' % (epoch, i, n_batches)
                 message += '  Cam Loss: %1.4f' % float(out['cam_loss'])
