@@ -45,42 +45,39 @@ def show_skeleton(image, image_coord, confidence, message='', bbox=None,
     parent = getattr(joint_settings, skeleton + '_parent')
     body_edges = _edges(short_names, parent)
 
-    plt.figure(figsize=(12, 8))
-    ax = plt.subplot(1, 1, 1)
-    plt.title(message + ':' + str(image.shape))
-    plt.imshow(image)
+    fig, ax = plt.subplots(figsize=(12, 8))
+    ax.set_title(f'{message}:{image.shape}')
+    ax.imshow(image)
     ax.set_autoscale_on(False)
 
     valid = (0.1 <= confidence)
-    plt.plot(image_coord[0, valid], image_coord[1, valid], '.')
-    for edge in body_edges:
-        if valid[edge[0]] and valid[edge[1]]:
-            plt.plot(image_coord[0, edge], image_coord[1, edge])
-    plt.plot(np.mean(image_coord[0, valid]), np.mean(image_coord[1, valid]),
-             'X', color='w')
+    xs, ys = image_coord[0], image_coord[1]
+    ax.plot(xs[valid], ys[valid], '.')
+    drawable = valid[body_edges].all(axis=1)
+    for edge in body_edges[drawable]:
+        ax.plot(xs[edge], ys[edge])
+    ax.plot(xs[valid].mean(), ys[valid].mean(), 'X', color='w')
     if bbox is not None:
         rect = patches.Rectangle((bbox[0], bbox[1]), bbox[2], bbox[3],
                                  linewidth=2, edgecolor='r', facecolor='none')
         ax.add_patch(rect)
-    plt.draw()
+    fig.canvas.draw_idle()
     plt.show()
 
 
 def visualize(image_name, depth_cam, true_cam, spec_cam, depth_bbox):
-    """Predicted-vs-GT overlay on the depth view (depth_datasets.py:295-309)."""
+    """Predicted-vs-GT overlay on the depth view (depth_datasets.py:295-309):
+    the stored 16-bit depth PNG reads back as [0,1]*255 metres-ish units; the
+    reference's /30 display rescale is kept for comparability."""
     import matplotlib.pyplot as plt
 
-    plt.figure(figsize=(16, 12))
-    image = plt.imread(image_name) * 255.0
-    image = (image / 30.0 * 255.0).astype(np.uint8)
+    raw = plt.imread(image_name).astype(np.float64)
+    image = np.clip(raw * 255.0 * (255.0 / 30.0), 0, 255).astype(np.uint8)
 
-    ax = plt.subplot(1, 2, 1)
-    ax.imshow(image, cmap='gray', vmin=0, vmax=255)
-    show_mat(depth_cam.camera_to_image(spec_cam), ax, depth_bbox)
-
-    ax = plt.subplot(1, 2, 2)
-    ax.imshow(image, cmap='gray', vmin=0, vmax=255)
-    show_mat(depth_cam.camera_to_image(true_cam), ax, depth_bbox)
+    fig, (ax_pred, ax_true) = plt.subplots(1, 2, figsize=(16, 12))
+    for ax, pose in ((ax_pred, spec_cam), (ax_true, true_cam)):
+        ax.imshow(image, cmap='gray', vmin=0, vmax=255)
+        show_mat(depth_cam.camera_to_image(pose), ax, depth_bbox)
     plt.show()
 
 
@@ -88,8 +85,7 @@ def visualize_filtered(image, skeletons, camera):
     """World skeletons projected onto an image (filter_ntu_samples.py:151-160)."""
     import matplotlib.pyplot as plt
 
-    plt.figure(figsize=(12, 8))
-    ax = plt.subplot(1, 1, 1)
+    fig, ax = plt.subplots(figsize=(12, 8))
     ax.imshow(image)
     for skeleton in skeletons:
         show_mat(camera.world_to_image(skeleton), ax)

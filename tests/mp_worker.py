@@ -145,6 +145,7 @@ def run_mixed_epoch(fixture):
 
 
 def main():
+    global make_args
     rank, nprocs, port, fixture, out_path = sys.argv[1:6]
     mode = sys.argv[6] if len(sys.argv) > 6 else 'rgb'
 
@@ -158,7 +159,17 @@ def main():
     import jax
 
     assert jax.process_count() == int(nprocs), jax.process_count()
-    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.devices()) == 4 * int(nprocs), jax.devices()
+    if int(nprocs) != 2:
+        # widths beyond the reference 2x4 keep 4 rows per process: the mesh
+        # spans 4*nprocs devices, the global batch scales to match
+        base_args = make_args
+
+        def make_args(metadata_path, _base=base_args, _n=int(nprocs)):
+            args = _base(metadata_path)
+            args.batch_size = 4 * _n
+            args.n_cudas = 4 * _n
+            return args
 
     run = {'rgb': run_rgb_epoch, 'distill': run_distill_epoch,
            'mixed': run_mixed_epoch}[mode]

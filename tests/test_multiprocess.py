@@ -33,13 +33,13 @@ def worker_env():
     return env
 
 
-def run_cluster(argv_per_rank, tmp_path, timeout=1500):
+def run_cluster(argv_per_rank, tmp_path, timeout=1500, nprocs=2):
     """Launch one subprocess per rank, wait, and return their stdout logs
     (asserting clean exits). argv_per_rank: rank -> full argv list."""
     procs = [subprocess.Popen(argv_per_rank(r), cwd=REPO, env=worker_env(),
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
-             for r in range(2)]
+             for r in range(nprocs)]
     logs = []
     for p in procs:
         try:
@@ -53,15 +53,16 @@ def run_cluster(argv_per_rank, tmp_path, timeout=1500):
     return logs
 
 
-def run_workers(mode, fixture, tmp_path):
-    """Run tests/mp_worker.py on 2 ranks; returns both result dicts."""
+def run_workers(mode, fixture, tmp_path, nprocs=2):
+    """Run tests/mp_worker.py on `nprocs` ranks; returns the result
+    dicts."""
     port = free_port()
-    outs = [str(tmp_path / f'out{r}.json') for r in (0, 1)]
+    outs = [str(tmp_path / f'out{r}.json') for r in range(nprocs)]
     worker = os.path.join(REPO, 'tests', 'mp_worker.py')
     run_cluster(
-        lambda r: [sys.executable, worker, str(r), '2', str(port), fixture,
-                   outs[r], mode],
-        tmp_path)
+        lambda r: [sys.executable, worker, str(r), str(nprocs), str(port),
+                   fixture, outs[r], mode],
+        tmp_path, nprocs=nprocs)
     return [json.load(open(o)) for o in outs]
 
 
@@ -93,6 +94,23 @@ def test_two_process_training_matches_single_process(cmu, rgb_reference,
     for key in ('train_loss', 'test_loss', 'cam_mean'):
         assert np.isclose(results[0][key], rgb_reference[key],
                           rtol=1e-5), (key, results[0], rgb_reference)
+
+
+def test_three_process_ranks_agree(cmu, tmp_path):
+    """Cluster generality beyond the 2-rank reference shape: 3 processes x
+    4 devices (global batch 12, 16 train samples -> a padded final batch
+    whose real rows span the process blocks unevenly). No single-process
+    twin at this width, so the pin is rank-vs-rank: loader slicing,
+    reassembly, the psum'd loss stream and the allgathered eval metrics
+    must agree exactly across all three ranks."""
+    results = run_workers('rgb', cmu, tmp_path, nprocs=3)
+    assert [r['rank'] for r in results] == [0, 1, 2]
+    for key in ('train_loss', 'test_loss', 'cam_mean', 'score_pck',
+                'score_auc'):
+        vals = [r[key] for r in results]
+        assert np.isclose(vals[0], vals[1], rtol=1e-6), (key, results)
+        assert np.isclose(vals[0], vals[2], rtol=1e-6), (key, results)
+        assert np.isfinite(vals[0]), (key, results)
 
 
 def test_cli_two_process_run(cmu, rgb_reference, tmp_path):

@@ -96,6 +96,40 @@ class TestBatchingServer:
             assert server.served == 11
             assert server.batches >= 3   # 11 requests / batch 4
 
+    def test_concurrent_submitters(self):
+        """Many threads hammering submit() concurrently: every future
+        resolves with its own request's result (identity checked through a
+        per-request constant crop), nothing deadlocks, counts add up."""
+        import threading
+        from pose_tpu.serve import BatchingServer
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=4)
+        results = {}
+        errors = []
+        with BatchingServer(p, max_delay_ms=2.0) as server:
+            def client(tid):
+                try:
+                    rng = np.random.RandomState(tid)
+                    for j in range(6):
+                        crop = rng.randn(65, 65, 3).astype(np.float32)
+                        out = server.predict(crop, timeout=120)
+                        results[(tid, j)] = out['relat_cam']
+                except Exception as e:           # pragma: no cover
+                    errors.append((tid, e))
+            threads = [threading.Thread(target=client, args=(t,))
+                       for t in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not errors, errors
+            assert len(results) == 24
+            assert server.served == 24
+            assert all(np.all(np.isfinite(v)) for v in results.values())
+            # distinct inputs must not have been cross-wired to one output
+            flat = [v.tobytes() for v in results.values()]
+            assert len(set(flat)) == len(flat)
+
     def test_stop_rejects_new_requests(self):
         from pose_tpu.serve import BatchingServer
         args = small_args()
