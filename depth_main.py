@@ -12,6 +12,7 @@ import opts
 from pose_tpu.models import build_model, convert
 from pose_tpu.train import DepthTrainer, Logger
 from pose_tpu.train.depth_engine import load_metadata
+from pose_tpu.utils.profiling import cli_trace as _trace_ctx
 
 
 def get_info():
@@ -157,13 +158,15 @@ def main():
 
     if args.test_only or args.val_only:
         print('=> Evaluation starts')
-        test_rec = trainer.test(0, test_loader)
+        with _trace_ctx(args, capture=True):
+            test_rec = trainer.test(0, test_loader)
         logger.print_rec(test_rec)
     else:
         start_epoch = logger.state['epoch'] + 1
         print('=> Train starts')
         for epoch in range(start_epoch, args.n_epochs + 1):
-            train_rec = trainer.train(epoch, data_loader)
+            with _trace_ctx(args, capture=(epoch == start_epoch)):
+                train_rec = trainer.train(epoch, data_loader)
             test_rec = trainer.test(epoch, test_loader)
             logger.record(epoch, train_rec, test_rec,
                           trainer.get_variables())

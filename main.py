@@ -13,6 +13,7 @@ from datasets import get_data_loader
 from pose_tpu.models import build_model
 from pose_tpu.models import convert
 from pose_tpu.train import Logger, RgbTrainer
+from pose_tpu.utils.profiling import cli_trace as _trace_ctx
 
 
 def create_variables(args, model, trainer):
@@ -94,12 +95,14 @@ def main():
     print('=> Trainer is ready')
 
     if args.test_only or args.val_only:
-        trainer.test(0, test_loader)
+        with _trace_ctx(args, capture=True):
+            trainer.test(0, test_loader)
     else:
         start_epoch = logger.state['epoch'] + 1
         print('=> Start training')
         for epoch in range(start_epoch, args.n_epochs + 1):
-            train_rec = trainer.train(epoch, data_loader)
+            with _trace_ctx(args, capture=(epoch == start_epoch)):
+                train_rec = trainer.train(epoch, data_loader)
             test_rec = trainer.test(epoch, test_loader)
             logger.record(epoch, train_rec, test_rec,
                           trainer.get_variables())

@@ -108,6 +108,12 @@ def build_parser():
                              'fast path (3.1x slower; the fast path costs a '
                              'measured 0.17 mm cam_mean on a 469 mm metric '
                              '- docs/ROUND2_NOTES.md item 8)')
+    parser.add_argument('-trace_dir', default=None,
+                        help='capture a jax.profiler trace of the first '
+                             'trained epoch (or the -val_only eval) into '
+                             'this directory; view with TensorBoard/xprof. '
+                             'The reference has no profiler (SURVEY.md '
+                             '§5); beyond-reference extra')
     parser.add_argument('-save_state', action='store_true',
                         help='also write an orbax full-train-state sidecar '
                              'per epoch and restore it on -resume, making '

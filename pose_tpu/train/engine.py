@@ -282,8 +282,9 @@ class RgbTrainer(BaseTrainer):
                 out = self._eval_step(self.state, device_batch)
                 if do_track:
                     # root reconstruction stays on device, dispatched with
-                    # the step (utils.py:296-332 get_deter_cam); mesh-padded
-                    # rows can hold singular intrinsics -> NaN, sliced off
+                    # the step (utils.py:296-332 get_deter_cam); the solve is
+                    # strictly per-row, so the loader's duplicated-last-row
+                    # mesh padding just recomputes a real row — sliced off
                     # with the rest of the padding after the fetch
                     out = dict(out, deter_cam=self._recon_step(
                         out['spec_mat'], out['relat_cam'],

@@ -11,6 +11,7 @@ var to `off`) to disable. Compilations faster than 1 s are not persisted
 (they are cheaper to redo than to read back)."""
 
 import os
+import sys
 
 import jax
 
@@ -36,7 +37,9 @@ def enable_compile_cache(args=None, path=None):
         # EXPLICITLY requested cache dir failing deserves a visible warning
         # (silently paying minutes-long recompiles defeats the flag)
         if explicit:
+            # stderr: bench.py (stdout = exactly one JSON line) imports this
             print('=> WARNING: compile cache %r unavailable (%s); '
-                  'continuing without persistent cache' % (path, e))
+                  'continuing without persistent cache' % (path, e),
+                  file=sys.stderr)
         return None
     return path

@@ -55,3 +55,13 @@ class StepTimer:
 def annotate(name):
     """Named trace region for profiler timelines."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def cli_trace(args, capture=True):
+    """Context manager behind the -trace_dir CLI flag: a jax.profiler trace
+    of the wrapped block when `capture` and the flag is set, else a no-op."""
+    trace_dir = getattr(args, 'trace_dir', None)
+    if capture and trace_dir:
+        print('=> Capturing profiler trace to ' + trace_dir)
+        return trace(trace_dir)
+    return contextlib.nullcontext()

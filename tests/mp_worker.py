@@ -1,6 +1,6 @@
-"""Worker process for tests/test_multiprocess.py: joins a 2-process gloo
-cluster (each process owning 4 virtual CPU devices of an 8-device global
-mesh) and runs one train epoch + one eval epoch through the full
+"""Worker process for tests/test_multiprocess.py: joins an nprocs-process
+gloo cluster (each process owning 4 virtual CPU devices of a 4*nprocs-device
+global mesh) and runs one train epoch + one eval epoch through the full
 Trainer/Loader stack — the multi-host scale-out path of
 pose_tpu.parallel.mesh (init_distributed / process-sliced loaders /
 process_allgather eval). Not a test module; launched by the test with
@@ -12,14 +12,19 @@ import types
 
 
 def make_args(metadata_path):
+    """One batch row per live device: 8 under the single-process conftest
+    mesh and under the reference 2x4 cluster, 4*nprocs for wider clusters —
+    every mode (rgb/distill/mixed) sizes its mesh and batch from this."""
+    import jax
+    ndev = jax.device_count()
     return types.SimpleNamespace(
         criterion='SmoothL1', half_acc=False, depth=4, num_joints=19,
         depth_range=1000.0, side_in=65, stride=32, grad_norm=5.0,
         weight_decay=4e-5, loss_div=10.0, learn_rate=1e-4, n_epochs=1,
         do_track=False, joint_space=False, shuffle=True, geometry=True,
         colour=True, eraser=False, occluder=False, occ_path=None,
-        occ_count=0, batch_size=8, data_name='cmu',
-        metadata_path=metadata_path, random_zoom=0.9, n_cudas=8, workers=1,
+        occ_count=0, batch_size=ndev, data_name='cmu',
+        metadata_path=metadata_path, random_zoom=0.9, n_cudas=ndev, workers=1,
         nexponent=False, to_depth=False, do_teach=False, attention=False,
         semi_teach=False, extra_channel=False, model='resnet18',
         depth_only=False, skip_relu=False, early_dist=False,
@@ -77,7 +82,7 @@ def run_distill_epoch(fixture):
     args.sigmoid = False
     args.bin_dist = False
     info = get_info()
-    mesh = make_mesh(8)
+    mesh = make_mesh(args.n_cudas)
 
     model = build_model(args, 'depth')
     teacher = build_model(args, 'depth')
@@ -123,7 +128,7 @@ def run_mixed_epoch(fixture):
     args.data_name = 'ntu'
     args.num_joints = 17
     info = get_info()
-    mesh = make_mesh(8)
+    mesh = make_mesh(args.n_cudas)
     loader = build_mixed_loader(args, 'train', info, ['ntu', 'pku'],
                                 metadata_path=fixture, mesh=mesh)
 
@@ -145,7 +150,6 @@ def run_mixed_epoch(fixture):
 
 
 def main():
-    global make_args
     rank, nprocs, port, fixture, out_path = sys.argv[1:6]
     mode = sys.argv[6] if len(sys.argv) > 6 else 'rgb'
 
@@ -160,16 +164,6 @@ def main():
 
     assert jax.process_count() == int(nprocs), jax.process_count()
     assert len(jax.devices()) == 4 * int(nprocs), jax.devices()
-    if int(nprocs) != 2:
-        # widths beyond the reference 2x4 keep 4 rows per process: the mesh
-        # spans 4*nprocs devices, the global batch scales to match
-        base_args = make_args
-
-        def make_args(metadata_path, _base=base_args, _n=int(nprocs)):
-            args = _base(metadata_path)
-            args.batch_size = 4 * _n
-            args.n_cudas = 4 * _n
-            return args
 
     run = {'rgb': run_rgb_epoch, 'distill': run_distill_epoch,
            'mixed': run_mixed_epoch}[mode]

@@ -246,3 +246,21 @@ def test_depth_main_distill_depth_only_teacher(ntu_fixture, tmp_path):
     out = run_cli('depth_main.py', flags)
     _spec_line(out)
     assert 'Dist Loss' in out
+
+
+def test_main_trace_dir_captures_profile(cmu_fixture, tmp_path):
+    """-trace_dir wraps the first trained epoch in a jax.profiler trace
+    (beyond-reference: SURVEY.md §5 notes the reference has no profiler);
+    the capture must produce an xplane artifact and leave training intact."""
+    save = str(tmp_path / 'save')
+    trace_dir = str(tmp_path / 'trace')
+    flags = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                    '-metadata_path', cmu_fixture, '-save_path', save,
+                    '-shuffle', '-save_record', '-geometry',
+                    '-trace_dir', trace_dir]
+    out = run_cli('main.py', flags)
+    _spec_line(out)
+    assert '=> Capturing profiler trace to ' + trace_dir in out
+    captured = [os.path.join(root, f)
+                for root, _, files in os.walk(trace_dir) for f in files]
+    assert any(f.endswith('.xplane.pb') for f in captured), captured

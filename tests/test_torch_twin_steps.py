@@ -956,3 +956,75 @@ class TestDistillStep:
         worst = compare_trees({'params': grads}, t_grads, 2e-2, 'grad')
         print('distill max rel dev: grad %s=%.2e teacher-stat %s=%.2e'
               % (worst + worst_t))
+
+
+class TestLockstepJointTrack:
+    """Long-horizon equivalence at the FLAGSHIP loss composition: 25
+    identical-batch Adam steps of joint_train + do_track (dual heads, 2D +
+    3D losses and the differentiable root-reconstruction loss,
+    loss = 0.5*(cam+mat) + recon — reference train.py:55-142, :105-112)
+    torch vs JAX in lockstep. TestLockstepTrajectory covers cam-only; this
+    compounds the recon solve's gradients through the trajectory."""
+
+    N_STEPS = 25
+
+    def test_25_step_total_loss_drift(self):
+        lr = 2e-5
+        args = make_args(joint_space=True)
+        model = build_small('rgb', 3, joint_space=True)
+        variables = jax.device_get(model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, SIDE, SIDE, 3)),
+            train=False))
+        twin = load_twin(TorchTrunk(layers=(1, 1, 1, 1), stride=STRIDE,
+                                    num_joints=J, depth=D, joint_space=True),
+                         variables)
+        batch = rand_batch(np.random.RandomState(21), joint=True)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        tx = steps.make_optimizer(args)
+        state = steps.TrainState(params=variables['params'],
+                                 batch_stats=variables['batch_stats'],
+                                 opt_state=tx.init(variables['params']),
+                                 step=jnp.zeros((), jnp.int32))
+        step = steps.make_joint_train_step(model, args, 2, tx, do_track=True)
+        jax_losses = []
+        for _ in range(self.N_STEPS):
+            state, out = step(state, jbatch, lr)
+            total = ((float(out['cam_loss']) + float(out['mat_loss'])) * 0.5
+                     + float(out['recon_loss']))
+            jax_losses.append(total)
+
+        twin.train()
+        image = torch.from_numpy(nchw(batch['image']))
+        true_cam = torch.from_numpy(batch['true_cam'])
+        true_mat = torch.from_numpy(batch['true_mat'])
+        valid = torch.from_numpy(batch['true_val'])
+        intrinsics = torch.from_numpy(batch['intrinsics'])
+        opt, torch_losses = None, []
+        for _ in range(self.N_STEPS):
+            cam_feat, mat_feat = twin(image)
+            spec_mat = t_decode2d(t_heatmap2d(mat_feat, J), SIDE)
+            mat_loss = t_masked_loss(spec_mat, true_mat, valid)
+            relat, spec = t_spec_cam(cam_feat, true_cam, args.depth_range, 2)
+            cam_loss = t_masked_loss(spec, true_cam, valid)
+            recon = t_recon(spec_mat, relat, intrinsics)
+            recon_loss = t_masked_loss(recon, true_cam, valid)
+            t_total = (cam_loss + mat_loss) * 0.5 + recon_loss
+            torch_losses.append(float(t_total.detach()))
+            _, opt = torch_adam_step(twin, t_total, args, lr, opt=opt)
+
+        scale = torch_losses[0]
+        gaps = [abs(a - b) / scale for a, b in zip(jax_losses, torch_losses)]
+        final_rel = (abs(jax_losses[-1] - torch_losses[-1])
+                     / abs(torch_losses[-1]))
+        print(f'\nlockstep joint+track: loss gap / initial loss '
+              f'first={gaps[0]:.2e} max={max(gaps):.2e} '
+              f'last={gaps[-1]:.2e}; final rel={final_rel:.2e}')
+        print('  torch loss trajectory:',
+              ' '.join(f'{v:.4f}' for v in torch_losses[::4]))
+        print('  jax   loss trajectory:',
+              ' '.join(f'{v:.4f}' for v in jax_losses[::4]))
+        assert torch_losses[-1] < 0.5 * torch_losses[0]
+        assert jax_losses[-1] < 0.5 * jax_losses[0]
+        assert max(gaps) < 5e-2, gaps
+        assert final_rel < 5e-2, final_rel

@@ -237,8 +237,8 @@ class TestJointTestDoTrack:
     """The -do_track DETER eval path (reference train.py:268-301 printing,
     utils.py:296-332 get_deter_cam): the root reconstruction runs on device,
     dispatched alongside the pipelined eval step (engine._overlap), and the
-    mesh-padding rows (singular zero intrinsics -> NaN) are sliced off after
-    the fetch."""
+    mesh-padding rows (the loader duplicates the last real row, so padding
+    just re-solves a real sample) are sliced off after the fetch."""
 
     @pytest.fixture(scope='class')
     def cmu(self, tmp_path_factory):
