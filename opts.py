@@ -11,6 +11,7 @@ behaviour: -n_cudas is interpreted as the number of mesh devices (SURVEY.md
 """
 
 import argparse
+import os
 
 
 def build_parser():
@@ -65,8 +66,16 @@ def build_parser():
     # data paths used by the launch scripts (absent from the reference opts.py)
     parser.add_argument('-data_root_path', help='root path of the raw dataset')
     parser.add_argument('-data_down_path', help='path of the downscaled sample store')
-    parser.add_argument('-metadata_path', default='/globalwork/liu/metadata.json',
-                        help='machine-local dataset metadata json (roots, loaders, thresholds)')
+    parser.add_argument('-metadata_path',
+                        default=os.environ.get(
+                            'POSE_TPU_METADATA',
+                            '/globalwork/liu/metadata.json'),
+                        help='machine-local dataset metadata json (roots, '
+                             'loaders, thresholds). Default matches the '
+                             'reference hard-coded path (datasets.py:42); '
+                             'the POSE_TPU_METADATA env var overrides it so '
+                             'the unchanged launch scripts (which never '
+                             'pass this flag) can target another store')
 
     # integer options
     parser.add_argument('-warmup', default=1, type=int, help='warmup epochs for the depth-engine LR schedule')
