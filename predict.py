@@ -1,0 +1,300 @@
+"""Inference CLI: run a trained pose checkpoint on images or a video.
+
+The reference has no deployment/inference entry point at all — its closest
+path is `main.py -val_only` (main.py:77-95), which needs the full pickled
+dataset + metadata.json machinery. This CLI closes that user-journey gap:
+
+    python predict.py -model resnet50 -model_path save/.../model_20.pth \
+        -joint_space -images 'frames/*.jpg' -bboxes boxes.json \
+        -camera camera.json -out poses.json -viz overlays/
+
+It reuses the training stack end-to-end: the crop-camera synthesis of the
+loader (pose_tpu.data.crop.build_crop, the reference's datasets.py:78-121
+sequence), the on-device batched warp/normalize (pose_tpu.data.augment),
+the AOT predictor (pose_tpu.serve.Predictor) and, for joint-space models,
+the least-squares absolute-root reconstruction (utils.py:296-332 analogue).
+Outputs are JSON (root-relative mm in the original camera frame; absolute
+camera/world mm and full-frame 2D px when the model has the 2D head) plus
+optional skeleton-overlay PNGs (pose_tpu.tools.viz).
+"""
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+from datasets import build_info
+from pose_tpu import serve
+from pose_tpu.data import augment, crop
+from pose_tpu.geometry import camera as cameralib
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument('-model', default='resnet50',
+                        choices=['resnet18', 'resnet50'])
+    parser.add_argument('-model_path', required=True,
+                        help='model_<E>.pth checkpoint (ours or '
+                             'reference-converted)')
+    # model-shape flags; must match the checkpoint (opts.py defaults)
+    parser.add_argument('-side_in', default=257, type=int)
+    parser.add_argument('-stride', default=16, type=int)
+    parser.add_argument('-num_joints', default=19, type=int)
+    parser.add_argument('-depth', default=16, type=int)
+    parser.add_argument('-depth_range', default=1000.0, type=float)
+    parser.add_argument('-joint_space', action='store_true')
+    parser.add_argument('-extra_channel', action='store_true')
+    parser.add_argument('-half_acc', action='store_true',
+                        help='bfloat16 forward (matches -half_acc training)')
+    # inputs
+    parser.add_argument('-images', help="glob of image files (sorted)")
+    parser.add_argument('-video', help='video file (all frames)')
+    parser.add_argument('-bboxes',
+                        help='JSON person boxes [x, y, w, h]: a dict keyed '
+                             'by frame key, a per-frame list, or one box '
+                             'for every frame; default = full frame')
+    parser.add_argument('-camera',
+                        help='JSON with K (3x3) and optional R (3x3), '
+                             't (3, extrinsic translation), dist, world_up; '
+                             'default = centered pinhole with -focal')
+    parser.add_argument('-focal', default=0.0, type=float,
+                        help='focal length for the default camera '
+                             '(0 = 1.2 * max(height, width))')
+    parser.add_argument('-skeleton', default='cmu',
+                        choices=['cmu', 'h36m', 'ntu'],
+                        help='joint_settings tables for the root joint and '
+                             'viz edges')
+    # outputs
+    parser.add_argument('-out', default='predictions.json')
+    parser.add_argument('-viz', help='directory for overlay PNGs')
+    parser.add_argument('-batch_size', default=8, type=int)
+    return parser
+
+
+def load_frames(args):
+    """Ordered (key, HxWx3 uint8 RGB) frames from -images or -video."""
+    if (args.images is None) == (args.video is None):
+        raise SystemExit('pass exactly one of -images / -video')
+    frames = []
+    if args.video:
+        from pose_tpu.tools.video import prefetch
+        for i, frame in enumerate(prefetch(args.video)):
+            frames.append(('frame_%06d' % i, frame))
+    else:
+        paths = sorted(glob.glob(args.images))
+        if not paths:
+            raise SystemExit(f'no files match {args.images!r}')
+        from pose_tpu.data.loader import imread
+        for path in paths:
+            image = imread(path)
+            if image.ndim == 2:
+                image = image[..., None].repeat(3, axis=-1)
+            image = image[..., :3]
+            if image.dtype != np.uint8:
+                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            frames.append((os.path.basename(path), image))
+    return frames
+
+
+def load_bboxes(args, frames):
+    """Per-frame [x, y, w, h]; default covers the whole frame."""
+    if args.bboxes is None:
+        return [np.array([0, 0, f.shape[1], f.shape[0]], np.float32)
+                for _, f in frames]
+    with open(args.bboxes) as f:
+        spec = json.load(f)
+    if isinstance(spec, dict):
+        try:
+            return [np.asarray(spec[key], np.float32) for key, _ in frames]
+        except KeyError as e:
+            raise SystemExit(f'-bboxes has no entry for frame {e}')
+    spec = np.asarray(spec, np.float32)
+    if spec.ndim == 1:                          # one box for every frame
+        return [spec] * len(frames)
+    if len(spec) != len(frames):
+        raise SystemExit(f'-bboxes lists {len(spec)} boxes for '
+                         f'{len(frames)} frames')
+    return list(spec)
+
+
+def load_camera(args, frame_hw):
+    """Camera from -camera JSON, else a centered pinhole guess."""
+    h, w = frame_hw
+    if args.camera is None:
+        focal = args.focal or 1.2 * max(h, w)
+        K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+        return cameralib.Camera(intrinsic_matrix=K, world_up=(0, -1, 0))
+    with open(args.camera) as f:
+        spec = json.load(f)
+    R = np.asarray(spec.get('R', np.eye(3)), np.float64)
+    kwargs = dict(rot_world_to_cam=R,
+                  intrinsic_matrix=np.asarray(spec['K'], np.float64),
+                  world_up=tuple(spec.get('world_up', (0, -1, 0))))
+    if 'optical_center' in spec:
+        kwargs['optical_center'] = np.asarray(spec['optical_center'])
+    else:
+        t = np.asarray(spec.get('t', np.zeros(3)), np.float64).reshape(3)
+        kwargs['optical_center'] = -R.T @ t
+    if spec.get('dist'):
+        kwargs['distortion_coeffs'] = np.asarray(spec['dist'], np.float64)
+    return cameralib.Camera(**kwargs)
+
+
+def prepare_batch(frames, bboxes, cam, side_in, extra_channel, canvas_hw):
+    """Host geometry for a chunk of frames: crop cameras, padded canvases
+    and the per-sample warp lookups (mirrors the loader's parse path,
+    pose_tpu/data/loader.py)."""
+    new_cams, per_frame = [], []
+    for (_, image), bbox in zip(frames, bboxes):
+        new_cam, matrices = crop.build_crop(cam, bbox, side_in,
+                                            do_flip=False, random_zoom=1.0,
+                                            geometry_aug=False)
+        canvas, extent, prescale = crop.pad_to_canvas(image, canvas_hw)
+        sample = dict(matrices)
+        crop.scale_lookup(sample, prescale)
+        sample['canvas'] = canvas
+        sample['extent'] = extent
+        if extra_channel:
+            bx, by, bw, bh = np.asarray(bbox, np.float32)
+            corners = np.array([[bx, by], [bx + bw, by],
+                                [bx + bw, by + bh], [bx, by + bh]],
+                               np.float32)
+            sample['bbox_quad'] = cameralib.reproject_points(
+                corners, cam, new_cam).astype(np.float32)
+        new_cams.append(new_cam)
+        per_frame.append(sample)
+    batch = {k: np.stack([s[k] for s in per_frame]) for k in per_frame[0]}
+    return new_cams, batch
+
+
+def run_batch(predictor, batch, side_in, key_index, new_cams, orig_cam,
+              joint_space):
+    """Warp + forward + decode for one padded chunk; returns per-frame
+    result dicts in the ORIGINAL camera/world frame."""
+    import jax.numpy as jnp
+
+    if 'homography' in batch:
+        crops = augment.process_color_batch(
+            jnp.asarray(batch['canvas']), jnp.asarray(batch['homography']),
+            jnp.asarray(batch['extent']), _zero_key(), side_in,
+            do_colour=False, do_eraser=False, mxu_warp=True)
+    else:
+        crops = augment.process_color_batch_general(
+            jnp.asarray(batch['canvas']),
+            jnp.asarray(batch['partial_homography']),
+            jnp.asarray(batch['old_intrinsics']),
+            jnp.asarray(batch['dist_coeffs']),
+            jnp.asarray(batch['extent']), _zero_key(), side_in,
+            do_colour=False, do_eraser=False)
+    if 'bbox_quad' in batch:
+        mask = augment.bbox_mask_channel(jnp.asarray(batch['bbox_quad']),
+                                         side_in)
+        crops = jnp.concatenate([crops, mask], axis=-1)
+
+    out = predictor.predict_crops(crops)
+    relat = out['relat_cam']
+    relat = relat - relat[:, key_index:key_index + 1]
+
+    results = []
+    back = np.stack([orig_cam.R @ nc.R.T for nc in new_cams])  # (B, 3, 3)
+    relat_orig = np.einsum('bij,bkj->bki', back, relat)
+    absolute = None
+    if joint_space and 'spec_mat' in out:
+        intr = np.stack([nc.intrinsic_matrix for nc in new_cams])
+        from pose_tpu.ops import recon
+        absolute = np.asarray(recon.recon_root(
+            jnp.asarray(out['spec_mat']), jnp.asarray(relat),
+            jnp.asarray(intr.astype(np.float32))))
+    for i, new_cam in enumerate(new_cams):
+        rec = {'relat_cam': relat_orig[i].tolist()}
+        if 'spec_mat' in out:
+            rec['spec_mat'] = out['spec_mat'][i].tolist()
+        if absolute is not None:
+            world = new_cam.camera_to_world(absolute[i].astype(np.float64))
+            rec['absolute_world'] = world.tolist()
+            rec['absolute_cam'] = orig_cam.world_to_camera(world).tolist()
+            rec['image_coord'] = orig_cam.world_to_image(world).tolist()
+        results.append(rec)
+    return results
+
+
+def _zero_key():
+    import jax
+    return jax.random.PRNGKey(0)
+
+
+def save_viz(viz_dir, key, image, rec, bbox, skeleton):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from pose_tpu.tools import viz
+
+    coords = np.asarray(rec.get('image_coord', [])).T
+    if coords.size == 0:
+        return                  # no absolute path -> nothing in frame coords
+    confidence = np.ones(coords.shape[1])
+    viz.show_skeleton(image, coords[:2], confidence, message=key,
+                      bbox=np.asarray(bbox), skeleton=skeleton)
+    os.makedirs(viz_dir, exist_ok=True)
+    fig = plt.gcf()
+    fig.savefig(os.path.join(viz_dir, os.path.splitext(key)[0] + '.png'))
+    plt.close(fig)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    frames = load_frames(args)
+    bboxes = load_bboxes(args, frames)
+    cam = load_camera(args, frames[0][1].shape[:2])
+    info = build_info(args.skeleton)
+    key_index = (info.key_index if len(info.short_names) == args.num_joints
+                 else 0)
+
+    pargs = serve.default_args(
+        model=args.model, side_in=args.side_in, stride=args.stride,
+        num_joints=args.num_joints, depth=args.depth,
+        depth_range=args.depth_range, joint_space=args.joint_space,
+        extra_channel=args.extra_channel, half_acc=args.half_acc)
+    predictor = serve.Predictor.from_checkpoint(
+        args.model_path, pargs, batch_size=min(args.batch_size, len(frames)))
+
+    canvas_hw = (max(f.shape[0] for _, f in frames),
+                 max(f.shape[1] for _, f in frames))
+    bs = predictor.batch_size
+    records = []
+    for start in range(0, len(frames), bs):
+        chunk = frames[start:start + bs]
+        cboxes = bboxes[start:start + bs]
+        n = len(chunk)
+        while len(chunk) < bs:                  # pad the tail chunk
+            chunk = chunk + [chunk[-1]]
+            cboxes = cboxes + [cboxes[-1]]
+        new_cams, batch = prepare_batch(chunk, cboxes, cam, args.side_in,
+                                        args.extra_channel, canvas_hw)
+        results = run_batch(predictor, batch, args.side_in, key_index,
+                            new_cams, cam, args.joint_space)
+        for (key, image), bbox, rec in list(zip(chunk, cboxes,
+                                                results))[:n]:
+            rec = dict(rec, key=key, bbox=np.asarray(bbox).tolist())
+            records.append(rec)
+            if args.viz:
+                if len(info.short_names) != args.num_joints:
+                    raise SystemExit('-viz needs -skeleton matching '
+                                     '-num_joints')
+                save_viz(args.viz, key, image, rec, bbox, args.skeleton)
+
+    blob = dict(model=args.model, model_path=args.model_path,
+                side_in=args.side_in, num_joints=args.num_joints,
+                skeleton=args.skeleton, frames=records)
+    with open(args.out, 'w') as f:
+        json.dump(blob, f)
+    print(f'=> wrote {len(records)} predictions to {args.out}')
+    return blob
+
+
+if __name__ == '__main__':
+    main()

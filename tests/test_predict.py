@@ -1,0 +1,158 @@
+"""End-to-end tests for the inference CLI (predict.py).
+
+The reference has no deployment entry point (its closest path is
+main.py:77-95 -val_only over the pickled corpus); predict.py is the
+framework's checkpoint+frames -> poses JSON journey. These tests drive the
+real CLI main() over tiny JPEG fixtures with a real (small) checkpoint.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import predict  # noqa: E402
+
+ARGS = dict(model='resnet18', side_in=65, stride=32, depth=4,
+            num_joints=19, half_acc=False)
+
+
+@pytest.fixture(scope='module')
+def fixture_dir(tmp_path_factory):
+    """Three small JPEG frames + a joint-space resnet18 checkpoint."""
+    import jax
+    from PIL import Image
+
+    from pose_tpu import serve
+    from pose_tpu.models.convert import (save_torch_file,
+                                         variables_to_torch_state)
+
+    root = tmp_path_factory.mktemp('predict_fixture')
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        arr = rng.randint(0, 255, (80, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f'frame_{i}.jpg')
+
+    args = serve.default_args(joint_space=True, **ARGS)
+    p = serve.Predictor(args, 'rgb', batch_size=1)
+    save_torch_file(
+        dict(state={}, model=variables_to_torch_state(
+            jax.device_get(p.variables))),
+        str(root / 'model_1.pth'))
+    return root
+
+
+def cli(fixture_dir, out_name, extra):
+    argv = ['-model', 'resnet18', '-model_path',
+            str(fixture_dir / 'model_1.pth'),
+            '-side_in', '65', '-stride', '32', '-depth', '4',
+            '-num_joints', '19', '-joint_space',
+            '-images', str(fixture_dir / 'frame_*.jpg'),
+            '-out', str(fixture_dir / out_name)] + extra
+    return predict.main(argv)
+
+
+def test_images_bboxes_camera_viz(fixture_dir):
+    """Dict bboxes + explicit pinhole camera + overlay PNGs."""
+    boxes = {f'frame_{i}.jpg': [10 + i, 5, 60, 70] for i in range(3)}
+    with open(fixture_dir / 'boxes.json', 'w') as f:
+        json.dump(boxes, f)
+    cam = dict(K=[[120.0, 0, 48], [0, 120.0, 40], [0, 0, 1]],
+               R=np.eye(3).tolist(), t=[0.0, 0.0, 0.0])
+    with open(fixture_dir / 'camera.json', 'w') as f:
+        json.dump(cam, f)
+    viz_dir = fixture_dir / 'overlays'
+
+    blob = cli(fixture_dir, 'out.json', [
+        '-bboxes', str(fixture_dir / 'boxes.json'),
+        '-camera', str(fixture_dir / 'camera.json'),
+        '-viz', str(viz_dir)])
+
+    with open(fixture_dir / 'out.json') as f:
+        on_disk = json.load(f)
+    assert on_disk['frames'] == blob['frames']
+    assert len(blob['frames']) == 3
+    for i, rec in enumerate(blob['frames']):
+        assert rec['key'] == f'frame_{i}.jpg'
+        assert rec['bbox'] == [10 + i, 5, 60, 70]
+        relat = np.asarray(rec['relat_cam'])
+        assert relat.shape == (19, 3)
+        assert np.all(np.isfinite(relat))
+        # root-relative: the cmu key joint (key_foots base) sits at zero
+        from datasets import build_info
+        key_index = build_info('cmu').key_index
+        np.testing.assert_allclose(relat[key_index], 0.0, atol=1e-3)
+        assert np.asarray(rec['spec_mat']).shape == (19, 2)
+        for field in ('absolute_world', 'absolute_cam', 'image_coord'):
+            arr = np.asarray(rec[field])
+            assert arr.shape[0] == 19
+            assert np.all(np.isfinite(arr))
+        # frame-transform consistency: the absolute pose re-rooted in the
+        # original camera frame must reproduce the reported relative pose
+        absolute = np.asarray(rec['absolute_cam'])
+        np.testing.assert_allclose(absolute - absolute[key_index], relat,
+                                   atol=0.5)
+        assert os.path.exists(viz_dir / f'frame_{i}.png')
+
+
+def test_distorted_camera_list_bboxes(fixture_dir):
+    """Distorted source camera exercises the general warp branch; a single
+    shared bbox broadcasts to every frame."""
+    cam = dict(K=[[120.0, 0, 48], [0, 120.0, 40], [0, 0, 1]],
+               dist=[-0.2, 0.05, 0.0, 0.0, 0.0])
+    with open(fixture_dir / 'camera_dist.json', 'w') as f:
+        json.dump(cam, f)
+    with open(fixture_dir / 'one_box.json', 'w') as f:
+        json.dump([8, 6, 70, 66], f)
+
+    blob = cli(fixture_dir, 'out_dist.json', [
+        '-bboxes', str(fixture_dir / 'one_box.json'),
+        '-camera', str(fixture_dir / 'camera_dist.json')])
+    assert len(blob['frames']) == 3
+    for rec in blob['frames']:
+        assert rec['bbox'] == [8, 6, 70, 66]
+        assert np.all(np.isfinite(np.asarray(rec['relat_cam'])))
+        assert np.all(np.isfinite(np.asarray(rec['absolute_cam'])))
+
+
+def test_default_camera_and_fullframe_boxes(fixture_dir):
+    """No -bboxes / -camera: full-frame boxes + centered pinhole guess."""
+    blob = cli(fixture_dir, 'out_default.json', [])
+    assert len(blob['frames']) == 3
+    assert blob['frames'][0]['bbox'] == [0, 0, 96, 80]
+    assert np.asarray(blob['frames'][0]['relat_cam']).shape == (19, 3)
+
+
+def test_video_input(fixture_dir):
+    """-video drives the same path through tools.video.prefetch."""
+    cv2 = pytest.importorskip('cv2')
+    path = str(fixture_dir / 'clip.avi')
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), 5.0,
+                             (96, 80))
+    if not writer.isOpened():
+        pytest.skip('no MJPG encoder in this cv2 build')
+    rng = np.random.RandomState(1)
+    for _ in range(2):
+        writer.write(rng.randint(0, 255, (80, 96, 3), dtype=np.uint8))
+    writer.release()
+
+    argv = ['-model', 'resnet18', '-model_path',
+            str(fixture_dir / 'model_1.pth'),
+            '-side_in', '65', '-stride', '32', '-depth', '4',
+            '-num_joints', '19', '-joint_space',
+            '-video', path, '-out', str(fixture_dir / 'out_video.json')]
+    blob = predict.main(argv)
+    assert [r['key'] for r in blob['frames']] == ['frame_000000',
+                                                  'frame_000001']
+
+
+def test_input_validation(fixture_dir):
+    with pytest.raises(SystemExit):
+        predict.main(['-model_path', 'x.pth'])      # neither images nor video
+    with pytest.raises(SystemExit):
+        predict.main(['-model_path', 'x.pth',
+                      '-images', str(fixture_dir / 'nomatch_*.jpg')])
