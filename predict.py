@@ -16,6 +16,18 @@ the least-squares absolute-root reconstruction (utils.py:296-332 analogue).
 Outputs are JSON (root-relative mm in the original camera frame; absolute
 camera/world mm and full-frame 2D px when the model has the 2D head) plus
 optional skeleton-overlay PNGs (pose_tpu.tools.viz).
+
+The depth model families deploy too — the point of the privileged-
+information setup is shipping the distilled depth-only student
+(depth_main.py:37-42 dispatch):
+
+    python predict.py -model resnet50 -model_path distilled.pth \
+        -depth_only -nexponent -depth_images 'depth/*.png' \
+        -depth_camera depth_cam.json -out poses.json
+
+`-do_fusion` takes both streams (-images AND -depth_images);
+`-partial_conv` selects the mask-propagating trunks; `-nexponent`,
+`-to_depth` and `-depth_thresh` must match the training flags.
 """
 
 import argparse
@@ -48,9 +60,44 @@ def build_parser():
     parser.add_argument('-extra_channel', action='store_true')
     parser.add_argument('-half_acc', action='store_true',
                         help='bfloat16 forward (matches -half_acc training)')
+    # depth-family model dispatch (depth_main.py:37-42 semantics): any of
+    # these selects the depthnet/fusionnet trunks instead of the RGB one
+    parser.add_argument('-depth_only', action='store_true',
+                        help='1-channel depth-input model (the distilled '
+                             'student — the deployment target of the '
+                             'privileged-information setup)')
+    parser.add_argument('-do_fusion', action='store_true',
+                        help='fusion model: RGB + depth streams')
+    parser.add_argument('-partial_conv', action='store_true',
+                        help='partial-conv (mask-propagating) depth trunk')
+    parser.add_argument('-depth_net', action='store_true',
+                        help='3-channel depthnet trunk fed with RGB (the '
+                             'reference depth model without -depth_only)')
+    parser.add_argument('-nexponent', action='store_true',
+                        help='exp(-d) depth enhancement (must match '
+                             'training)')
+    parser.add_argument('-to_depth', action='store_true',
+                        help='ray-length -> z-depth correction (must match '
+                             'training)')
+    parser.add_argument('-depth_thresh', default=0.1, type=float,
+                        help='depth validity threshold: 0.1 (NTU-style) or '
+                             '0.5 (PKU-style), in the enhanced scale')
     # inputs
     parser.add_argument('-images', help="glob of image files (sorted)")
     parser.add_argument('-video', help='video file (all frames)')
+    parser.add_argument('-depth_images',
+                        help='glob of 16-bit depth PNGs (sorted; the '
+                             "reference store's unit convention: raw "
+                             'uint16 / 65535)')
+    parser.add_argument('-depth_bboxes',
+                        help='JSON person boxes in the depth view '
+                             '(same forms as -bboxes); default = full '
+                             'frame')
+    parser.add_argument('-depth_camera',
+                        help='JSON with K for the depth camera (pinhole '
+                             'only — reference depth stores are '
+                             'intrinsics-only, get_depth_cams.py); default '
+                             '= centered pinhole guess')
     parser.add_argument('-bboxes',
                         help='JSON person boxes [x, y, w, h]: a dict keyed '
                              'by frame key, a per-frame list, or one box '
@@ -98,35 +145,59 @@ def load_frames(args):
     return frames
 
 
-def load_bboxes(args, frames):
+def load_bboxes(spec_path, frames, flag='-bboxes'):
     """Per-frame [x, y, w, h]; default covers the whole frame."""
-    if args.bboxes is None:
+    if spec_path is None:
         return [np.array([0, 0, f.shape[1], f.shape[0]], np.float32)
                 for _, f in frames]
-    with open(args.bboxes) as f:
+    with open(spec_path) as f:
         spec = json.load(f)
     if isinstance(spec, dict):
         try:
             return [np.asarray(spec[key], np.float32) for key, _ in frames]
         except KeyError as e:
-            raise SystemExit(f'-bboxes has no entry for frame {e}')
+            raise SystemExit(f'{flag} has no entry for frame {e}')
     spec = np.asarray(spec, np.float32)
     if spec.ndim == 1:                          # one box for every frame
         return [spec] * len(frames)
     if len(spec) != len(frames):
-        raise SystemExit(f'-bboxes lists {len(spec)} boxes for '
+        raise SystemExit(f'{flag} lists {len(spec)} boxes for '
                          f'{len(frames)} frames')
     return list(spec)
 
 
-def load_camera(args, frame_hw):
-    """Camera from -camera JSON, else a centered pinhole guess."""
+def load_depth_frames(pattern):
+    """Ordered (key, HxWx1 float32 raw-depth) frames from -depth_images."""
+    from pose_tpu.data.loader import imread
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise SystemExit(f'no files match {pattern!r}')
+    frames = []
+    for path in paths:
+        image = np.asarray(imread(path), np.float32)
+        if image.ndim == 3:
+            image = image[..., 0]
+        frames.append((os.path.basename(path), image[..., None]))
+    return frames
+
+
+def resolve_variant(args):
+    """Model dispatch (depth_main.py:37-42): partial_/fusion/depth/rgb."""
+    if (args.depth_only or args.do_fusion or args.partial_conv
+            or args.depth_net):
+        return (('partial_' if args.partial_conv else '')
+                + ('fusion' if args.do_fusion else 'depth'))
+    return 'rgb'
+
+
+def load_camera(spec_path, frame_hw, focal=0.0):
+    """Camera from a JSON spec, else a centered pinhole guess."""
     h, w = frame_hw
-    if args.camera is None:
-        focal = args.focal or 1.2 * max(h, w)
+    if spec_path is None:
+        focal = focal or 1.2 * max(h, w)
         K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
         return cameralib.Camera(intrinsic_matrix=K, world_up=(0, -1, 0))
-    with open(args.camera) as f:
+    with open(spec_path) as f:
         spec = json.load(f)
     R = np.asarray(spec.get('R', np.eye(3)), np.float64)
     kwargs = dict(rot_world_to_cam=R,
@@ -169,10 +240,34 @@ def prepare_batch(frames, bboxes, cam, side_in, extra_channel, canvas_hw):
     return new_cams, batch
 
 
-def run_batch(predictor, batch, side_in, key_index, new_cams, orig_cam,
-              joint_space):
-    """Warp + forward + decode for one padded chunk; returns per-frame
-    result dicts in the ORIGINAL camera/world frame."""
+def prepare_depth_batch(frames, bboxes, cam, side_in, canvas_hw):
+    """Host geometry for the depth stream, mirroring DepthPoseLoader.parse
+    (pose_tpu/data/loader.py:568-633): a pinhole-only crop homography plus
+    the ORIGINAL depth intrinsics' inverse for the to_depth correction."""
+    if cam.distortion_coeffs is not None:
+        raise SystemExit('-depth_camera must be pinhole (the reference '
+                         'depth stores are intrinsics-only, '
+                         'get_depth_cams.py)')
+    k_inv = np.linalg.inv(
+        cam.intrinsic_matrix.astype(np.float64)).astype(np.float32)
+    new_cams, per_frame = [], []
+    for (_, image), bbox in zip(frames, bboxes):
+        new_cam, matrices = crop.build_crop(cam, bbox, side_in,
+                                            do_flip=False, random_zoom=1.0,
+                                            geometry_aug=False)
+        canvas, extent, prescale = crop.pad_to_canvas(image, canvas_hw)
+        sample = dict(matrices)
+        crop.scale_lookup(sample, prescale)
+        sample['canvas'] = canvas
+        sample['extent'] = extent
+        new_cams.append(new_cam)
+        per_frame.append(sample)
+    batch = {k: np.stack([s[k] for s in per_frame]) for k in per_frame[0]}
+    batch['k_inv'] = np.tile(k_inv, (len(per_frame), 1, 1))
+    return new_cams, batch
+
+
+def _warp_color(batch, side_in):
     import jax.numpy as jnp
 
     if 'homography' in batch:
@@ -192,8 +287,37 @@ def run_batch(predictor, batch, side_in, key_index, new_cams, orig_cam,
         mask = augment.bbox_mask_channel(jnp.asarray(batch['bbox_quad']),
                                          side_in)
         crops = jnp.concatenate([crops, mask], axis=-1)
+    return crops
 
-    out = predictor.predict_crops(crops)
+
+def _warp_depth(batch, args):
+    import jax.numpy as jnp
+
+    thresh = np.full(len(batch['canvas']), args.depth_thresh, np.float32)
+    return augment.process_depth_batch(
+        jnp.asarray(batch['canvas']), jnp.asarray(batch['homography']),
+        jnp.asarray(batch['extent']), jnp.asarray(batch['k_inv']),
+        jnp.asarray(thresh), args.side_in, args.nexponent, args.to_depth,
+        mxu_warp=True)
+
+
+def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
+              orig_cam):
+    """Warp + forward + decode for one padded chunk; returns per-frame
+    result dicts in the ORIGINAL camera/world frame (`new_cams`/`orig_cam`
+    are the crop/source cameras of the stream that defines the model's
+    output frame: RGB when present, else depth)."""
+    import jax.numpy as jnp
+
+    if variant in ('fusion', 'partial_fusion'):
+        inputs = (_warp_color(cbatch, args.side_in), _warp_depth(dbatch,
+                                                                 args))
+    elif args.depth_only:
+        inputs = (_warp_depth(dbatch, args),)
+    else:
+        inputs = (_warp_color(cbatch, args.side_in),)
+
+    out = predictor.predict_crops(*inputs)
     relat = out['relat_cam']
     relat = relat - relat[:, key_index:key_index + 1]
 
@@ -201,7 +325,7 @@ def run_batch(predictor, batch, side_in, key_index, new_cams, orig_cam,
     back = np.stack([orig_cam.R @ nc.R.T for nc in new_cams])  # (B, 3, 3)
     relat_orig = np.einsum('bij,bkj->bki', back, relat)
     absolute = None
-    if joint_space and 'spec_mat' in out:
+    if args.joint_space and 'spec_mat' in out:
         intr = np.stack([nc.intrinsic_matrix for nc in new_cams])
         from pose_tpu.ops import recon
         absolute = np.asarray(recon.recon_root(
@@ -246,10 +370,36 @@ def save_viz(viz_dir, key, image, rec, bbox, skeleton):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    variant = resolve_variant(args)
+    need_color = not args.depth_only
+    need_depth = args.depth_only or variant in ('fusion', 'partial_fusion')
+    if args.joint_space and variant != 'rgb':
+        raise SystemExit('-joint_space is an RGB-model head; depth-family '
+                         'checkpoints have no 2D branch')
+    if args.viz and not (args.joint_space and variant == 'rgb'):
+        raise SystemExit('-viz needs a -joint_space RGB model (overlays '
+                         'require full-frame 2D coordinates)')
 
-    frames = load_frames(args)
-    bboxes = load_bboxes(args, frames)
-    cam = load_camera(args, frames[0][1].shape[:2])
+    cframes = dframes = cam = dcam = None
+    cboxes = dboxes = None
+    if need_color:
+        cframes = load_frames(args)
+        cboxes = load_bboxes(args.bboxes, cframes)
+        cam = load_camera(args.camera, cframes[0][1].shape[:2], args.focal)
+    elif args.images or args.video:
+        raise SystemExit('-depth_only models take only -depth_images')
+    if need_depth:
+        if args.depth_images is None:
+            raise SystemExit(f'a {variant} model needs -depth_images')
+        dframes = load_depth_frames(args.depth_images)
+        dboxes = load_bboxes(args.depth_bboxes, dframes, '-depth_bboxes')
+        dcam = load_camera(args.depth_camera, dframes[0][1].shape[:2],
+                           args.focal)
+    if cframes and dframes and len(cframes) != len(dframes):
+        raise SystemExit(f'{len(cframes)} colour frames vs '
+                         f'{len(dframes)} depth frames')
+    frames = cframes or dframes         # output keys + the frame count
+
     info = build_info(args.skeleton)
     key_index = (info.key_index if len(info.short_names) == args.num_joints
                  else 0)
@@ -258,26 +408,50 @@ def main(argv=None):
         model=args.model, side_in=args.side_in, stride=args.stride,
         num_joints=args.num_joints, depth=args.depth,
         depth_range=args.depth_range, joint_space=args.joint_space,
-        extra_channel=args.extra_channel, half_acc=args.half_acc)
+        extra_channel=args.extra_channel, half_acc=args.half_acc,
+        depth_only=args.depth_only)
     predictor = serve.Predictor.from_checkpoint(
-        args.model_path, pargs, batch_size=min(args.batch_size, len(frames)))
+        args.model_path, pargs, variant=variant,
+        batch_size=min(args.batch_size, len(frames)))
 
-    canvas_hw = (max(f.shape[0] for _, f in frames),
-                 max(f.shape[1] for _, f in frames))
+    canvas_hw = dcanvas_hw = None
+    if cframes:
+        canvas_hw = (max(f.shape[0] for _, f in cframes),
+                     max(f.shape[1] for _, f in cframes))
+    if dframes:
+        dcanvas_hw = (max(f.shape[0] for _, f in dframes),
+                      max(f.shape[1] for _, f in dframes))
+
+    def pad(seq, bs):
+        seq = list(seq)
+        while len(seq) < bs:
+            seq = seq + [seq[-1]]
+        return seq
+
     bs = predictor.batch_size
     records = []
     for start in range(0, len(frames), bs):
-        chunk = frames[start:start + bs]
-        cboxes = bboxes[start:start + bs]
-        n = len(chunk)
-        while len(chunk) < bs:                  # pad the tail chunk
-            chunk = chunk + [chunk[-1]]
-            cboxes = cboxes + [cboxes[-1]]
-        new_cams, batch = prepare_batch(chunk, cboxes, cam, args.side_in,
-                                        args.extra_channel, canvas_hw)
-        results = run_batch(predictor, batch, args.side_in, key_index,
-                            new_cams, cam, args.joint_space)
-        for (key, image), bbox, rec in list(zip(chunk, cboxes,
+        n = len(frames[start:start + bs])
+        cbatch = dbatch = None
+        if cframes:
+            chunk = pad(cframes[start:start + bs], bs)
+            chunk_boxes = pad(cboxes[start:start + bs], bs)
+            new_cams, cbatch = prepare_batch(
+                chunk, chunk_boxes, cam, args.side_in, args.extra_channel,
+                canvas_hw)
+            out_boxes, out_images = chunk_boxes, chunk
+            frame_cams, orig_cam = new_cams, cam
+        if dframes:
+            dchunk = pad(dframes[start:start + bs], bs)
+            dchunk_boxes = pad(dboxes[start:start + bs], bs)
+            new_dcams, dbatch = prepare_depth_batch(
+                dchunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
+            if not cframes:   # depth-only: the depth view IS the frame
+                out_boxes, out_images = dchunk_boxes, dchunk
+                frame_cams, orig_cam = new_dcams, dcam
+        results = run_batch(predictor, args, variant, cbatch, dbatch,
+                            key_index, frame_cams, orig_cam)
+        for (key, image), bbox, rec in list(zip(out_images, out_boxes,
                                                 results))[:n]:
             rec = dict(rec, key=key, bbox=np.asarray(bbox).tolist())
             records.append(rec)
@@ -288,8 +462,9 @@ def main(argv=None):
                 save_viz(args.viz, key, image, rec, bbox, args.skeleton)
 
     blob = dict(model=args.model, model_path=args.model_path,
-                side_in=args.side_in, num_joints=args.num_joints,
-                skeleton=args.skeleton, frames=records)
+                variant=variant, side_in=args.side_in,
+                num_joints=args.num_joints, skeleton=args.skeleton,
+                frames=records)
     with open(args.out, 'w') as f:
         json.dump(blob, f)
     print(f'=> wrote {len(records)} predictions to {args.out}')

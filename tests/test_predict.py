@@ -23,7 +23,8 @@ ARGS = dict(model='resnet18', side_in=65, stride=32, depth=4,
 
 @pytest.fixture(scope='module')
 def fixture_dir(tmp_path_factory):
-    """Three small JPEG frames + a joint-space resnet18 checkpoint."""
+    """Three small JPEG frames + 16-bit depth PNGs + rgb/depth/fusion
+    resnet18 checkpoints."""
     import jax
     from PIL import Image
 
@@ -36,13 +37,20 @@ def fixture_dir(tmp_path_factory):
     for i in range(3):
         arr = rng.randint(0, 255, (80, 96, 3), dtype=np.uint8)
         Image.fromarray(arr).save(root / f'frame_{i}.jpg')
+        depth = rng.randint(800, 5000, (80, 96), dtype=np.uint16)
+        Image.fromarray(depth).save(root / f'depth_{i}.png')
 
-    args = serve.default_args(joint_space=True, **ARGS)
-    p = serve.Predictor(args, 'rgb', batch_size=1)
-    save_torch_file(
-        dict(state={}, model=variables_to_torch_state(
-            jax.device_get(p.variables))),
-        str(root / 'model_1.pth'))
+    def save(variant, name, **over):
+        args = serve.default_args(**dict(ARGS, **over))
+        p = serve.Predictor(args, variant, batch_size=1)
+        save_torch_file(
+            dict(state={}, model=variables_to_torch_state(
+                jax.device_get(p.variables))),
+            str(root / name))
+
+    save('rgb', 'model_1.pth', joint_space=True)
+    save('depth', 'model_depth.pth', joint_space=False, depth_only=True)
+    save('fusion', 'model_fusion.pth', joint_space=False)
     return root
 
 
@@ -150,9 +158,70 @@ def test_video_input(fixture_dir):
                                                   'frame_000001']
 
 
+def test_depth_only_student(fixture_dir):
+    """The distilled depth-only student on raw 16-bit depth PNGs — the
+    privileged-information deployment target."""
+    with open(fixture_dir / 'depth_cam.json', 'w') as f:
+        json.dump(dict(K=[[110.0, 0, 48], [0, 110.0, 40], [0, 0, 1]]), f)
+    argv = ['-model', 'resnet18', '-model_path',
+            str(fixture_dir / 'model_depth.pth'),
+            '-side_in', '65', '-stride', '32', '-depth', '4',
+            '-num_joints', '19', '-depth_only', '-nexponent', '-to_depth',
+            '-depth_images', str(fixture_dir / 'depth_*.png'),
+            '-depth_camera', str(fixture_dir / 'depth_cam.json'),
+            '-out', str(fixture_dir / 'out_depth.json')]
+    blob = predict.main(argv)
+    assert blob['variant'] == 'depth'
+    assert [r['key'] for r in blob['frames']] == [
+        f'depth_{i}.png' for i in range(3)]
+    for rec in blob['frames']:
+        relat = np.asarray(rec['relat_cam'])
+        assert relat.shape == (19, 3)
+        assert np.all(np.isfinite(relat))
+        assert 'spec_mat' not in rec          # depth trunks have no 2D head
+        assert 'absolute_cam' not in rec
+
+
+def test_fusion_two_streams(fixture_dir):
+    blob = predict.main([
+        '-model', 'resnet18', '-model_path',
+        str(fixture_dir / 'model_fusion.pth'),
+        '-side_in', '65', '-stride', '32', '-depth', '4',
+        '-num_joints', '19', '-do_fusion',
+        '-images', str(fixture_dir / 'frame_*.jpg'),
+        '-depth_images', str(fixture_dir / 'depth_*.png'),
+        '-out', str(fixture_dir / 'out_fusion.json')])
+    assert blob['variant'] == 'fusion'
+    assert len(blob['frames']) == 3
+    # output keys/boxes follow the colour stream
+    assert blob['frames'][0]['key'] == 'frame_0.jpg'
+    assert np.all(np.isfinite(np.asarray(blob['frames'][0]['relat_cam'])))
+
+
+def test_variant_dispatch():
+    """depth_main.py:37-42 dispatch table, no model build needed."""
+    parse = lambda extra: predict.build_parser().parse_args(
+        ['-model_path', 'x.pth'] + extra)
+    assert predict.resolve_variant(parse([])) == 'rgb'
+    assert predict.resolve_variant(parse(['-depth_only'])) == 'depth'
+    assert predict.resolve_variant(parse(['-depth_net'])) == 'depth'
+    assert predict.resolve_variant(parse(['-do_fusion'])) == 'fusion'
+    assert predict.resolve_variant(
+        parse(['-partial_conv', '-depth_only'])) == 'partial_depth'
+    assert predict.resolve_variant(
+        parse(['-partial_conv', '-do_fusion'])) == 'partial_fusion'
+
+
 def test_input_validation(fixture_dir):
     with pytest.raises(SystemExit):
         predict.main(['-model_path', 'x.pth'])      # neither images nor video
     with pytest.raises(SystemExit):
         predict.main(['-model_path', 'x.pth',
                       '-images', str(fixture_dir / 'nomatch_*.jpg')])
+    with pytest.raises(SystemExit):            # depth models have no 2D head
+        predict.main(['-model_path', 'x.pth', '-depth_only',
+                      '-joint_space',
+                      '-depth_images', str(fixture_dir / 'depth_*.png')])
+    with pytest.raises(SystemExit):            # fusion needs the depth glob
+        predict.main(['-model_path', 'x.pth', '-do_fusion',
+                      '-images', str(fixture_dir / 'frame_*.jpg')])
