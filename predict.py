@@ -395,6 +395,10 @@ def main(argv=None):
         dboxes = load_bboxes(args.depth_bboxes, dframes, '-depth_bboxes')
         dcam = load_camera(args.depth_camera, dframes[0][1].shape[:2],
                            args.focal)
+        if dcam.distortion_coeffs is not None:  # fail before the model init
+            raise SystemExit('-depth_camera must be pinhole (the reference '
+                             'depth stores are intrinsics-only, '
+                             'get_depth_cams.py)')
     if cframes and dframes and len(cframes) != len(dframes):
         raise SystemExit(f'{len(cframes)} colour frames vs '
                          f'{len(dframes)} depth frames')
@@ -412,7 +416,7 @@ def main(argv=None):
         depth_only=args.depth_only)
     predictor = serve.Predictor.from_checkpoint(
         args.model_path, pargs, variant=variant,
-        batch_size=min(args.batch_size, len(frames)))
+        batch_size=max(1, min(args.batch_size, len(frames))))
 
     canvas_hw = dcanvas_hw = None
     if cframes:
