@@ -157,6 +157,37 @@ class Predictor:
         return exported.call
 
 
+class ArtifactPredictor:
+    """Predictor-surface wrapper around an export_artifact file.
+
+    Exposes `batch_size` / `predict_crops` / `aot_compile` / `_compiled`
+    so `BatchingServer` and `predict.py` run from the self-contained
+    artifact with no model code or checkpoint on hand — the deployment
+    handoff is a single file. The batch size and input shapes are baked
+    into the artifact (read back from `in_avals`)."""
+
+    def __init__(self, path):
+        from jax import export as jax_export
+        with open(path, 'rb') as f:
+            self._exported = jax_export.deserialize(f.read())
+        self.in_shapes = tuple(tuple(a.shape)
+                               for a in self._exported.in_avals)
+        self.batch_size = self.in_shapes[0][0]
+        self.variables = None               # weights live in the artifact
+        self._call = jax.jit(self._exported.call)
+
+    def aot_compile(self):
+        return self._call
+
+    def _compiled(self, variables, *inputs):
+        del variables                       # Predictor._compiled signature
+        return self._call(*inputs)
+
+    def predict_crops(self, *inputs):
+        out = self._call(*(jnp.asarray(x) for x in inputs))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
 class BatchingServer:
     """Request batching/queueing in front of a Predictor (VERDICT round-2
     item 10): single-crop requests are micro-batched up to the predictor's

@@ -49,7 +49,10 @@ def build_parser():
                         choices=['resnet18', 'resnet50'])
     parser.add_argument('-model_path', required=True,
                         help='model_<E>.pth checkpoint (ours or '
-                             'reference-converted)')
+                             'reference-converted), or a .jaxexport '
+                             'deployment artifact '
+                             '(Predictor.export_artifact) — then no model '
+                             'code or weights are needed')
     # model-shape flags; must match the checkpoint (opts.py defaults)
     parser.add_argument('-side_in', default=257, type=int)
     parser.add_argument('-stride', default=16, type=int)
@@ -408,15 +411,34 @@ def main(argv=None):
     key_index = (info.key_index if len(info.short_names) == args.num_joints
                  else 0)
 
-    pargs = serve.default_args(
-        model=args.model, side_in=args.side_in, stride=args.stride,
-        num_joints=args.num_joints, depth=args.depth,
-        depth_range=args.depth_range, joint_space=args.joint_space,
-        extra_channel=args.extra_channel, half_acc=args.half_acc,
-        depth_only=args.depth_only)
-    predictor = serve.Predictor.from_checkpoint(
-        args.model_path, pargs, variant=variant,
-        batch_size=max(1, min(args.batch_size, len(frames))))
+    if args.model_path.endswith('.jaxexport'):
+        predictor = serve.ArtifactPredictor(args.model_path)
+        shape = predictor.in_shapes[0]
+        if shape[1] != args.side_in:
+            raise SystemExit(f'artifact expects side_in {shape[1]}, '
+                             f'flags say {args.side_in}')
+        n_inputs = 2 if variant in ('fusion', 'partial_fusion') else 1
+        if len(predictor.in_shapes) != n_inputs:
+            raise SystemExit(f'artifact takes {len(predictor.in_shapes)} '
+                             f'input stream(s); the {variant} flags '
+                             f'need {n_inputs}')
+        want_ch = (3 if variant in ('fusion', 'partial_fusion')
+                   else 1 if args.depth_only
+                   else 4 if args.extra_channel else 3)
+        if shape[3] != want_ch:
+            raise SystemExit(f'artifact expects {shape[3]}-channel input; '
+                             f'the flags imply {want_ch} (check '
+                             '-extra_channel / -depth_only)')
+    else:
+        pargs = serve.default_args(
+            model=args.model, side_in=args.side_in, stride=args.stride,
+            num_joints=args.num_joints, depth=args.depth,
+            depth_range=args.depth_range, joint_space=args.joint_space,
+            extra_channel=args.extra_channel, half_acc=args.half_acc,
+            depth_only=args.depth_only)
+        predictor = serve.Predictor.from_checkpoint(
+            args.model_path, pargs, variant=variant,
+            batch_size=max(1, min(args.batch_size, len(frames))))
 
     canvas_hw = dcanvas_hw = None
     if cframes:

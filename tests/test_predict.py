@@ -198,6 +198,39 @@ def test_fusion_two_streams(fixture_dir):
     assert np.all(np.isfinite(np.asarray(blob['frames'][0]['relat_cam'])))
 
 
+def test_artifact_model_path(fixture_dir):
+    """A .jaxexport deployment artifact drives the CLI with no checkpoint;
+    outputs match the .pth run bit-for-tolerance."""
+    import jax
+    from pose_tpu import serve
+    args = serve.default_args(joint_space=True, **ARGS)
+    p = serve.Predictor.from_checkpoint(
+        str(fixture_dir / 'model_1.pth'), args, batch_size=3)
+    artifact = str(fixture_dir / 'pose.jaxexport')
+    p.export_artifact(artifact)
+
+    base = cli(fixture_dir, 'out_pth.json', [])
+    argv = ['-model_path', artifact,
+            '-side_in', '65', '-stride', '32', '-depth', '4',
+            '-num_joints', '19', '-joint_space',
+            '-images', str(fixture_dir / 'frame_*.jpg'),
+            '-out', str(fixture_dir / 'out_artifact.json')]
+    blob = predict.main(argv)
+    assert len(blob['frames']) == 3
+    for ref, got in zip(base['frames'], blob['frames']):
+        # artifact programs recompile from StableHLO with slightly
+        # different fusions; mm-scale tolerance
+        np.testing.assert_allclose(got['relat_cam'], ref['relat_cam'],
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(got['absolute_cam'], ref['absolute_cam'],
+                                   rtol=1e-3, atol=1e-1)
+    # flag/artifact mismatches fail fast with a clear message
+    with pytest.raises(SystemExit):
+        predict.main(argv[:2] + ['-side_in', '129'] + argv[4:])
+    with pytest.raises(SystemExit):
+        predict.main(argv + ['-extra_channel'])
+
+
 def test_variant_dispatch():
     """depth_main.py:37-42 dispatch table, no model build needed."""
     parse = lambda extra: predict.build_parser().parse_args(

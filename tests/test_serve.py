@@ -67,6 +67,32 @@ def test_preprocess_frames():
     assert np.all(np.isfinite(out))
 
 
+class TestArtifactPredictor:
+    def test_matches_source_predictor_and_serves(self, tmp_path):
+        from pose_tpu.serve import ArtifactPredictor, BatchingServer
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=2)
+        path = str(tmp_path / 'pose.jaxexport')
+        p.export_artifact(path)
+
+        ap = ArtifactPredictor(path)
+        assert ap.batch_size == 2
+        assert ap.in_shapes == ((2, 65, 65, 3),)
+        crops = np.random.RandomState(7).randn(2, 65, 65, 3).astype(
+            np.float32)
+        # the artifact's program is recompiled from serialized StableHLO, so
+        # fusions differ slightly from the live jit: tolerance is mm-scale
+        np.testing.assert_allclose(ap.predict_crops(crops)['relat_cam'],
+                                   p.predict_crops(crops)['relat_cam'],
+                                   rtol=1e-4, atol=1e-2)
+        # the artifact serves through the BatchingServer with no model code
+        with BatchingServer(ap, max_delay_ms=5.0) as server:
+            out = server.predict(crops[0], timeout=60)
+            np.testing.assert_allclose(
+                out['relat_cam'], p.predict_crops(crops)['relat_cam'][0],
+                rtol=1e-4, atol=1e-2)
+
+
 class TestBatchingServer:
     def test_single_and_burst_requests(self):
         from pose_tpu.serve import BatchingServer
