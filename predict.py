@@ -184,6 +184,16 @@ def load_depth_frames(pattern):
     return frames
 
 
+def resolve_model_path(path):
+    """Accept the Logger's best.pth pointer (main.py:37-46 convention):
+    {'best': E} resolves to model_<E>.pth beside it."""
+    if os.path.basename(path) == 'best.pth':
+        from pose_tpu.models.convert import load_torch_file
+        epoch = load_torch_file(path)['best']
+        return os.path.join(os.path.dirname(path), f'model_{epoch}.pth')
+    return path
+
+
 def resolve_variant(args):
     """Model dispatch (depth_main.py:37-42): partial_/fusion/depth/rgb."""
     if (args.depth_only or args.do_fusion or args.partial_conv
@@ -373,6 +383,7 @@ def save_viz(viz_dir, key, image, rec, bbox, skeleton):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    args.model_path = resolve_model_path(args.model_path)
     variant = resolve_variant(args)
     need_color = not args.depth_only
     need_depth = args.depth_only or variant in ('fusion', 'partial_fusion')

@@ -231,6 +231,16 @@ def test_artifact_model_path(fixture_dir):
         predict.main(argv + ['-extra_channel'])
 
 
+def test_best_pth_pointer(fixture_dir, tmp_path):
+    """best.pth ({'best': E}, Logger convention) resolves to model_<E>.pth
+    beside it (main.py:37-46 semantics)."""
+    from pose_tpu.models.convert import save_torch_file
+    save_torch_file({'best': 7}, str(tmp_path / 'best.pth'))
+    assert predict.resolve_model_path(str(tmp_path / 'best.pth')) == str(
+        tmp_path / 'model_7.pth')
+    assert predict.resolve_model_path('foo/model_3.pth') == 'foo/model_3.pth'
+
+
 def test_variant_dispatch():
     """depth_main.py:37-42 dispatch table, no model build needed."""
     parse = lambda extra: predict.build_parser().parse_args(
