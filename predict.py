@@ -124,49 +124,92 @@ def build_parser():
 
 
 def load_frames(args):
-    """Ordered (key, HxWx3 uint8 RGB) frames from -images or -video."""
+    """Ordered colour frames from -images (eager list) or -video (LAZY
+    generator — long clips never materialize in host memory; the chunk
+    loop consumes batch_size frames at a time).
+
+    Returns (frames, count, canvas_hw): for -video the count and canvas
+    are None until streaming starts (video frames share one size, so the
+    first frame fixes the canvas)."""
     if (args.images is None) == (args.video is None):
         raise SystemExit('pass exactly one of -images / -video')
-    frames = []
     if args.video:
         from pose_tpu.tools.video import prefetch
-        for i, frame in enumerate(prefetch(args.video)):
-            frames.append(('frame_%06d' % i, frame))
-    else:
-        paths = sorted(glob.glob(args.images))
-        if not paths:
-            raise SystemExit(f'no files match {args.images!r}')
-        from pose_tpu.data.loader import imread
-        for path in paths:
-            image = imread(path)
-            if image.ndim == 2:
-                image = image[..., None].repeat(3, axis=-1)
-            image = image[..., :3]
-            if image.dtype != np.uint8:
-                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-            frames.append((os.path.basename(path), image))
-    return frames
+
+        def stream():
+            for i, frame in enumerate(prefetch(args.video)):
+                yield ('frame_%06d' % i, frame)
+        return stream(), None, None
+
+    paths = sorted(glob.glob(args.images))
+    if not paths:
+        raise SystemExit(f'no files match {args.images!r}')
+    from pose_tpu.data.loader import imread
+    frames = []
+    for path in paths:
+        image = imread(path)
+        if image.ndim == 2:
+            image = image[..., None].repeat(3, axis=-1)
+        image = image[..., :3]
+        if image.dtype != np.uint8:
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        frames.append((os.path.basename(path), image))
+    canvas_hw = (max(f.shape[0] for _, f in frames),
+                 max(f.shape[1] for _, f in frames))
+    return frames, len(frames), canvas_hw
 
 
-def load_bboxes(spec_path, frames, flag='-bboxes'):
-    """Per-frame [x, y, w, h]; default covers the whole frame."""
-    if spec_path is None:
-        return [np.array([0, 0, f.shape[1], f.shape[0]], np.float32)
-                for _, f in frames]
-    with open(spec_path) as f:
-        spec = json.load(f)
-    if isinstance(spec, dict):
+def chunks_of(frames, bs):
+    """Batch an iterable of frames into lists of exactly bs (the tail chunk
+    padded by repeating its last frame) plus the real count."""
+    buf = []
+    for item in frames:
+        buf.append(item)
+        if len(buf) == bs:
+            yield buf, bs
+            buf = []
+    if buf:
+        n = len(buf)
+        while len(buf) < bs:
+            buf.append(buf[-1])
+        yield buf, n
+
+
+def boxes_for(chunk, n, spec, start, flag='-bboxes'):
+    """Per-frame [x, y, w, h] boxes for one chunk whose first `n` frames
+    are real (the rest are tail padding): `spec` is None (full frame), a
+    dict keyed by frame key, one box, or a per-frame list indexed from
+    `start`."""
+    real = chunk[:n]
+    if spec is None:
+        boxes = [np.array([0, 0, f.shape[1], f.shape[0]], np.float32)
+                 for _, f in real]
+    elif isinstance(spec, dict):
         try:
-            return [np.asarray(spec[key], np.float32) for key, _ in frames]
+            boxes = [np.asarray(spec[key], np.float32) for key, _ in real]
         except KeyError as e:
             raise SystemExit(f'{flag} has no entry for frame {e}')
-    spec = np.asarray(spec, np.float32)
-    if spec.ndim == 1:                          # one box for every frame
-        return [spec] * len(frames)
-    if len(spec) != len(frames):
-        raise SystemExit(f'{flag} lists {len(spec)} boxes for '
-                         f'{len(frames)} frames')
-    return list(spec)
+    else:
+        spec = np.asarray(spec, np.float32)
+        if spec.ndim == 1:                      # one box for every frame
+            boxes = [spec] * n
+        elif start + n > len(spec):
+            raise SystemExit(f'{flag} lists only {len(spec)} boxes; frame '
+                             f'{start + n - 1} has none')
+        else:
+            boxes = list(spec[start:start + n])
+    while len(boxes) < len(chunk):
+        boxes.append(boxes[-1])
+    return boxes
+
+
+def load_box_spec(spec_path):
+    """Parse a -bboxes / -depth_bboxes JSON file (resolution per chunk is
+    boxes_for's job); None means full-frame boxes."""
+    if spec_path is None:
+        return None
+    with open(spec_path) as f:
+        return json.load(f)
 
 
 def load_depth_frames(pattern):
@@ -395,28 +438,36 @@ def main(argv=None):
                          'require full-frame 2D coordinates)')
 
     cframes = dframes = cam = dcam = None
-    cboxes = dboxes = None
+    cspec = dspec = None
+    total = canvas_hw = dcanvas_hw = None
     if need_color:
-        cframes = load_frames(args)
-        cboxes = load_bboxes(args.bboxes, cframes)
-        cam = load_camera(args.camera, cframes[0][1].shape[:2], args.focal)
+        cframes, total, canvas_hw = load_frames(args)
+        cspec = load_box_spec(args.bboxes)
+        # the default-camera guess needs frame dims, which a streaming
+        # -video only yields at the first chunk; defer to the loop
+        if args.camera is not None:
+            cam = load_camera(args.camera, (0, 0), args.focal)
     elif args.images or args.video:
         raise SystemExit('-depth_only models take only -depth_images')
     if need_depth:
         if args.depth_images is None:
             raise SystemExit(f'a {variant} model needs -depth_images')
         dframes = load_depth_frames(args.depth_images)
-        dboxes = load_bboxes(args.depth_bboxes, dframes, '-depth_bboxes')
+        dspec = load_box_spec(args.depth_bboxes)
         dcam = load_camera(args.depth_camera, dframes[0][1].shape[:2],
                            args.focal)
         if dcam.distortion_coeffs is not None:  # fail before the model init
             raise SystemExit('-depth_camera must be pinhole (the reference '
                              'depth stores are intrinsics-only, '
                              'get_depth_cams.py)')
-    if cframes and dframes and len(cframes) != len(dframes):
-        raise SystemExit(f'{len(cframes)} colour frames vs '
+        dcanvas_hw = (max(f.shape[0] for _, f in dframes),
+                      max(f.shape[1] for _, f in dframes))
+        if not need_color:
+            total = len(dframes)
+    if need_color and need_depth and total is not None \
+            and total != len(dframes):
+        raise SystemExit(f'{total} colour frames vs '
                          f'{len(dframes)} depth frames')
-    frames = cframes or dframes         # output keys + the frame count
 
     info = build_info(args.skeleton)
     key_index = (info.key_index if len(info.short_names) == args.num_joints
@@ -449,15 +500,8 @@ def main(argv=None):
             depth_only=args.depth_only)
         predictor = serve.Predictor.from_checkpoint(
             args.model_path, pargs, variant=variant,
-            batch_size=max(1, min(args.batch_size, len(frames))))
-
-    canvas_hw = dcanvas_hw = None
-    if cframes:
-        canvas_hw = (max(f.shape[0] for _, f in cframes),
-                     max(f.shape[1] for _, f in cframes))
-    if dframes:
-        dcanvas_hw = (max(f.shape[0] for _, f in dframes),
-                      max(f.shape[1] for _, f in dframes))
+            batch_size=max(1, min(args.batch_size, total or
+                                  args.batch_size)))
 
     def pad(seq, bs):
         seq = list(seq)
@@ -467,27 +511,40 @@ def main(argv=None):
 
     bs = predictor.batch_size
     records = []
-    for start in range(0, len(frames), bs):
-        n = len(frames[start:start + bs])
+    start = 0
+    source = cframes if need_color else dframes
+    for chunk, n in chunks_of(source, bs):
         cbatch = dbatch = None
-        if cframes:
-            chunk = pad(cframes[start:start + bs], bs)
-            chunk_boxes = pad(cboxes[start:start + bs], bs)
+        if need_color:
+            if cam is None:       # default camera: dims from the stream
+                cam = load_camera(None, chunk[0][1].shape[:2], args.focal)
+            if canvas_hw is None:  # video frames share one size
+                canvas_hw = chunk[0][1].shape[:2]
+            chunk_boxes = boxes_for(chunk, n, cspec, start)
             new_cams, cbatch = prepare_batch(
                 chunk, chunk_boxes, cam, args.side_in, args.extra_channel,
                 canvas_hw)
             out_boxes, out_images = chunk_boxes, chunk
             frame_cams, orig_cam = new_cams, cam
-        if dframes:
-            dchunk = pad(dframes[start:start + bs], bs)
-            dchunk_boxes = pad(dboxes[start:start + bs], bs)
+            if need_depth:
+                if start + n > len(dframes):
+                    raise SystemExit(f'colour stream has more frames than '
+                                     f'the {len(dframes)} -depth_images')
+                dchunk = pad(dframes[start:start + n], bs)
+                dchunk_boxes = boxes_for(dchunk, n, dspec, start,
+                                         '-depth_bboxes')
+                _, dbatch = prepare_depth_batch(
+                    dchunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
+        else:                     # depth-only: the depth view IS the frame
+            dchunk_boxes = boxes_for(chunk, n, dspec, start,
+                                     '-depth_bboxes')
             new_dcams, dbatch = prepare_depth_batch(
-                dchunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
-            if not cframes:   # depth-only: the depth view IS the frame
-                out_boxes, out_images = dchunk_boxes, dchunk
-                frame_cams, orig_cam = new_dcams, dcam
+                chunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
+            out_boxes, out_images = dchunk_boxes, chunk
+            frame_cams, orig_cam = new_dcams, dcam
         results = run_batch(predictor, args, variant, cbatch, dbatch,
                             key_index, frame_cams, orig_cam)
+        start += n
         for (key, image), bbox, rec in list(zip(out_images, out_boxes,
                                                 results))[:n]:
             rec = dict(rec, key=key, bbox=np.asarray(bbox).tolist())
@@ -497,6 +554,12 @@ def main(argv=None):
                     raise SystemExit('-viz needs -skeleton matching '
                                      '-num_joints')
                 save_viz(args.viz, key, image, rec, bbox, args.skeleton)
+
+    if not records:
+        raise SystemExit('the input stream yielded no frames')
+    if need_color and need_depth and start != len(dframes):
+        raise SystemExit(f'{start} colour frames vs {len(dframes)} '
+                         '-depth_images')
 
     blob = dict(model=args.model, model_path=args.model_path,
                 variant=variant, side_in=args.side_in,

@@ -135,8 +135,11 @@ def test_default_camera_and_fullframe_boxes(fixture_dir):
     assert np.asarray(blob['frames'][0]['relat_cam']).shape == (19, 3)
 
 
-def test_video_input(fixture_dir):
-    """-video drives the same path through tools.video.prefetch."""
+def test_video_input_streams_in_chunks(fixture_dir):
+    """-video drives the same path through tools.video.prefetch, consumed
+    LAZILY in batch_size chunks (long clips never materialize in host
+    memory): 5 frames at batch 2 = 3 chunks with a padded tail."""
+    import types
     cv2 = pytest.importorskip('cv2')
     path = str(fixture_dir / 'clip.avi')
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), 5.0,
@@ -144,18 +147,26 @@ def test_video_input(fixture_dir):
     if not writer.isOpened():
         pytest.skip('no MJPG encoder in this cv2 build')
     rng = np.random.RandomState(1)
-    for _ in range(2):
+    for _ in range(5):
         writer.write(rng.randint(0, 255, (80, 96, 3), dtype=np.uint8))
     writer.release()
+
+    frames, total, canvas = predict.load_frames(
+        types.SimpleNamespace(images=None, video=path))
+    assert total is None and canvas is None
+    assert not isinstance(frames, (list, tuple))   # a lazy generator
+    assert next(frames)[0] == 'frame_000000'
 
     argv = ['-model', 'resnet18', '-model_path',
             str(fixture_dir / 'model_1.pth'),
             '-side_in', '65', '-stride', '32', '-depth', '4',
-            '-num_joints', '19', '-joint_space',
+            '-num_joints', '19', '-joint_space', '-batch_size', '2',
             '-video', path, '-out', str(fixture_dir / 'out_video.json')]
     blob = predict.main(argv)
-    assert [r['key'] for r in blob['frames']] == ['frame_000000',
-                                                  'frame_000001']
+    assert [r['key'] for r in blob['frames']] == [
+        'frame_%06d' % i for i in range(5)]
+    for rec in blob['frames']:
+        assert np.all(np.isfinite(np.asarray(rec['relat_cam'])))
 
 
 def test_depth_only_student(fixture_dir):
