@@ -104,7 +104,9 @@ def build_parser():
     parser.add_argument('-bboxes',
                         help='JSON person boxes [x, y, w, h]: a dict keyed '
                              'by frame key, a per-frame list, or one box '
-                             'for every frame; default = full frame')
+                             'for every frame; a per-frame entry may be a '
+                             'LIST of boxes (multi-person: one output '
+                             'record per person); default = full frame')
     parser.add_argument('-camera',
                         help='JSON with K (3x3) and optional R (3x3), '
                              't (3, extrinsic translation), dist, world_up; '
@@ -175,32 +177,41 @@ def chunks_of(frames, bs):
         yield buf, n
 
 
-def boxes_for(chunk, n, spec, start, flag='-bboxes'):
-    """Per-frame [x, y, w, h] boxes for one chunk whose first `n` frames
-    are real (the rest are tail padding): `spec` is None (full frame), a
-    dict keyed by frame key, one box, or a per-frame list indexed from
-    `start`."""
-    real = chunk[:n]
+def _frame_boxes(key, image, idx, spec, flag):
+    """Boxes for ONE frame: the spec's per-frame value is a single
+    [x, y, w, h] or a LIST of them (multi-person — the reference's own
+    corpus is one sample per person+bbox, data_groups.py make_sample)."""
     if spec is None:
-        boxes = [np.array([0, 0, f.shape[1], f.shape[0]], np.float32)
-                 for _, f in real]
+        val = [[0, 0, image.shape[1], image.shape[0]]]
     elif isinstance(spec, dict):
-        try:
-            boxes = [np.asarray(spec[key], np.float32) for key, _ in real]
-        except KeyError as e:
-            raise SystemExit(f'{flag} has no entry for frame {e}')
+        if key not in spec:
+            raise SystemExit(f"{flag} has no entry for frame '{key}'")
+        val = spec[key]
     else:
-        spec = np.asarray(spec, np.float32)
-        if spec.ndim == 1:                      # one box for every frame
-            boxes = [spec] * n
-        elif start + n > len(spec):
-            raise SystemExit(f'{flag} lists only {len(spec)} boxes; frame '
-                             f'{start + n - 1} has none')
+        arr = np.asarray(spec, np.float32)
+        if arr.ndim == 1:                       # one box for every frame
+            val = arr
+        elif idx >= len(spec):
+            raise SystemExit(f'{flag} lists only {len(spec)} entries; '
+                             f'frame {idx} has none')
         else:
-            boxes = list(spec[start:start + n])
-    while len(boxes) < len(chunk):
-        boxes.append(boxes[-1])
-    return boxes
+            val = spec[idx]
+    boxes = np.asarray(val, np.float32)
+    if boxes.ndim == 1:
+        boxes = boxes[None]
+    if boxes.ndim != 2 or boxes.shape[1] != 4 or not len(boxes):
+        raise SystemExit(f'{flag} entry for frame {idx} ({key}) must be '
+                         '[x, y, w, h] or a non-empty list of them')
+    return list(boxes)
+
+
+def expand_entries(frames, spec, flag='-bboxes'):
+    """Lazily expand (key, image) frames into per-person
+    (key, image, bbox, person) samples — the unit the model consumes."""
+    for idx, (key, image) in enumerate(frames):
+        for person, box in enumerate(_frame_boxes(key, image, idx, spec,
+                                                  flag)):
+            yield key, image, box, person
 
 
 def load_box_spec(spec_path):
@@ -462,16 +473,31 @@ def main(argv=None):
                              'get_depth_cams.py)')
         dcanvas_hw = (max(f.shape[0] for _, f in dframes),
                       max(f.shape[1] for _, f in dframes))
-        if not need_color:
-            total = len(dframes)
-    if need_color and need_depth and total is not None \
-            and total != len(dframes):
-        raise SystemExit(f'{total} colour frames vs '
-                         f'{len(dframes)} depth frames')
+    # dual-stream counts are compared at the person-sample level after
+    # bbox expansion (below) — frame counts alone can't catch a mismatch
 
     info = build_info(args.skeleton)
     key_index = (info.key_index if len(info.short_names) == args.num_joints
                  else 0)
+
+    # expand frames into per-person (key, image, bbox, person) samples —
+    # the unit the model consumes; eager sources expand eagerly (entries
+    # alias the frame arrays), the -video stream stays a lazy generator
+    dentries = None
+    if need_depth:
+        dentries = list(expand_entries(dframes, dspec, '-depth_bboxes'))
+    if need_color:
+        source = expand_entries(cframes, cspec)
+        if total is not None:
+            source = list(source)
+            total = len(source)
+            if dentries is not None and total != len(dentries):
+                raise SystemExit(f'-bboxes expands to {total} person '
+                                 f'samples vs {len(dentries)} in '
+                                 '-depth_bboxes')
+    else:
+        source = dentries
+        total = len(dentries)
 
     if args.model_path.endswith('.jaxexport'):
         predictor = serve.ArtifactPredictor(args.model_path)
@@ -512,54 +538,61 @@ def main(argv=None):
     bs = predictor.batch_size
     records = []
     start = 0
-    source = cframes if need_color else dframes
     for chunk, n in chunks_of(source, bs):
         cbatch = dbatch = None
+        frames_chunk = [(k, img) for k, img, _, _ in chunk]
+        chunk_boxes = [b for _, _, b, _ in chunk]
         if need_color:
             if cam is None:       # default camera: dims from the stream
                 cam = load_camera(None, chunk[0][1].shape[:2], args.focal)
             if canvas_hw is None:  # video frames share one size
                 canvas_hw = chunk[0][1].shape[:2]
-            chunk_boxes = boxes_for(chunk, n, cspec, start)
             new_cams, cbatch = prepare_batch(
-                chunk, chunk_boxes, cam, args.side_in, args.extra_channel,
-                canvas_hw)
-            out_boxes, out_images = chunk_boxes, chunk
+                frames_chunk, chunk_boxes, cam, args.side_in,
+                args.extra_channel, canvas_hw)
+            out_boxes, out_entries = chunk_boxes, chunk
             frame_cams, orig_cam = new_cams, cam
             if need_depth:
-                if start + n > len(dframes):
-                    raise SystemExit(f'colour stream has more frames than '
-                                     f'the {len(dframes)} -depth_images')
-                dchunk = pad(dframes[start:start + n], bs)
-                dchunk_boxes = boxes_for(dchunk, n, dspec, start,
-                                         '-depth_bboxes')
+                if start + n > len(dentries):
+                    raise SystemExit(f'colour stream has more person '
+                                     f'samples than the {len(dentries)} '
+                                     'in -depth_bboxes/-depth_images')
+                dchunk = pad(dentries[start:start + n], bs)
+                if [p for _, _, _, p in chunk[:n]] != [p for _, _, _, p
+                                                       in dchunk[:n]]:
+                    raise SystemExit('-bboxes and -depth_bboxes disagree '
+                                     'on the people per frame')
                 _, dbatch = prepare_depth_batch(
-                    dchunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
+                    [(k, img) for k, img, _, _ in dchunk],
+                    [b for _, _, b, _ in dchunk], dcam, args.side_in,
+                    dcanvas_hw)
         else:                     # depth-only: the depth view IS the frame
-            dchunk_boxes = boxes_for(chunk, n, dspec, start,
-                                     '-depth_bboxes')
             new_dcams, dbatch = prepare_depth_batch(
-                chunk, dchunk_boxes, dcam, args.side_in, dcanvas_hw)
-            out_boxes, out_images = dchunk_boxes, chunk
+                frames_chunk, chunk_boxes, dcam, args.side_in, dcanvas_hw)
+            out_boxes, out_entries = chunk_boxes, chunk
             frame_cams, orig_cam = new_dcams, dcam
         results = run_batch(predictor, args, variant, cbatch, dbatch,
                             key_index, frame_cams, orig_cam)
         start += n
-        for (key, image), bbox, rec in list(zip(out_images, out_boxes,
-                                                results))[:n]:
-            rec = dict(rec, key=key, bbox=np.asarray(bbox).tolist())
+        for (key, image, bbox, person), rec in list(zip(out_entries,
+                                                        results))[:n]:
+            rec = dict(rec, key=key, person=person,
+                       bbox=np.asarray(bbox).tolist())
             records.append(rec)
             if args.viz:
                 if len(info.short_names) != args.num_joints:
                     raise SystemExit('-viz needs -skeleton matching '
                                      '-num_joints')
-                save_viz(args.viz, key, image, rec, bbox, args.skeleton)
+                stem, ext = os.path.splitext(key)
+                viz_key = key if person == 0 else f'{stem}_p{person}{ext}'
+                save_viz(args.viz, viz_key, image, rec, bbox,
+                         args.skeleton)
 
     if not records:
         raise SystemExit('the input stream yielded no frames')
-    if need_color and need_depth and start != len(dframes):
-        raise SystemExit(f'{start} colour frames vs {len(dframes)} '
-                         '-depth_images')
+    if need_color and need_depth and start != len(dentries):
+        raise SystemExit(f'{start} colour person samples vs '
+                         f'{len(dentries)} in -depth_bboxes/-depth_images')
 
     blob = dict(model=args.model, model_path=args.model_path,
                 variant=variant, side_in=args.side_in,

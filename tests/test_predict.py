@@ -242,6 +242,34 @@ def test_artifact_model_path(fixture_dir):
         predict.main(argv + ['-extra_channel'])
 
 
+def test_multi_person_boxes(fixture_dir):
+    """A per-frame LIST of boxes yields one record per person (the
+    reference corpus is one sample per person+bbox, data_groups.py
+    make_sample); -viz writes per-person overlays."""
+    boxes = {'frame_0.jpg': [[5, 5, 40, 60], [45, 10, 45, 60]],
+             'frame_1.jpg': [[10, 8, 70, 60]],
+             'frame_2.jpg': [[0, 0, 96, 80], [20, 10, 50, 60],
+                             [8, 4, 30, 70]]}
+    with open(fixture_dir / 'people.json', 'w') as f:
+        json.dump(boxes, f)
+    viz_dir = fixture_dir / 'people_viz'
+    blob = cli(fixture_dir, 'out_people.json', [
+        '-bboxes', str(fixture_dir / 'people.json'),
+        '-viz', str(viz_dir), '-batch_size', '4'])
+    got = [(r['key'], r['person']) for r in blob['frames']]
+    assert got == [('frame_0.jpg', 0), ('frame_0.jpg', 1),
+                   ('frame_1.jpg', 0), ('frame_2.jpg', 0),
+                   ('frame_2.jpg', 1), ('frame_2.jpg', 2)]
+    for rec in blob['frames']:
+        assert np.all(np.isfinite(np.asarray(rec['relat_cam'])))
+    assert sorted(os.listdir(viz_dir)) == [
+        'frame_0.png', 'frame_0_p1.png', 'frame_1.png', 'frame_2.png',
+        'frame_2_p1.png', 'frame_2_p2.png']
+    # two people in one frame really get different crops/poses
+    a, b = blob['frames'][0], blob['frames'][1]
+    assert not np.allclose(a['relat_cam'], b['relat_cam'])
+
+
 def test_best_pth_pointer(fixture_dir, tmp_path):
     """best.pth ({'best': E}, Logger convention) resolves to model_<E>.pth
     beside it (main.py:37-46 semantics)."""
