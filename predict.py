@@ -188,8 +188,11 @@ def _frame_boxes(key, image, idx, spec, flag):
             raise SystemExit(f"{flag} has no entry for frame '{key}'")
         val = spec[key]
     else:
-        arr = np.asarray(spec, np.float32)
-        if arr.ndim == 1:                       # one box for every frame
+        try:                    # ragged person counts defeat asarray
+            arr = np.asarray(spec, np.float32)
+        except ValueError:
+            arr = None
+        if arr is not None and arr.ndim == 1:   # one box for every frame
             val = arr
         elif idx >= len(spec):
             raise SystemExit(f'{flag} lists only {len(spec)} entries; '

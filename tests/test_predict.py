@@ -269,6 +269,16 @@ def test_multi_person_boxes(fixture_dir):
     a, b = blob['frames'][0], blob['frames'][1]
     assert not np.allclose(a['relat_cam'], b['relat_cam'])
 
+    # the top-level-list form also takes ragged per-frame person counts
+    with open(fixture_dir / 'ragged.json', 'w') as f:
+        json.dump([[[5, 5, 40, 60]], [[10, 8, 70, 60], [4, 4, 50, 50]],
+                   [[0, 0, 96, 80]]], f)
+    blob = cli(fixture_dir, 'out_ragged.json', [
+        '-bboxes', str(fixture_dir / 'ragged.json')])
+    assert [(r['key'], r['person']) for r in blob['frames']] == [
+        ('frame_0.jpg', 0), ('frame_1.jpg', 0), ('frame_1.jpg', 1),
+        ('frame_2.jpg', 0)]
+
 
 def test_best_pth_pointer(fixture_dir, tmp_path):
     """best.pth ({'best': E}, Logger convention) resolves to model_<E>.pth
