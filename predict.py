@@ -553,7 +553,6 @@ def main(argv=None):
             new_cams, cbatch = prepare_batch(
                 frames_chunk, chunk_boxes, cam, args.side_in,
                 args.extra_channel, canvas_hw)
-            out_boxes, out_entries = chunk_boxes, chunk
             frame_cams, orig_cam = new_cams, cam
             if need_depth:
                 if start + n > len(dentries):
@@ -572,12 +571,11 @@ def main(argv=None):
         else:                     # depth-only: the depth view IS the frame
             new_dcams, dbatch = prepare_depth_batch(
                 frames_chunk, chunk_boxes, dcam, args.side_in, dcanvas_hw)
-            out_boxes, out_entries = chunk_boxes, chunk
             frame_cams, orig_cam = new_dcams, dcam
         results = run_batch(predictor, args, variant, cbatch, dbatch,
                             key_index, frame_cams, orig_cam)
         start += n
-        for (key, image, bbox, person), rec in list(zip(out_entries,
+        for (key, image, bbox, person), rec in list(zip(chunk,
                                                         results))[:n]:
             rec = dict(rec, key=key, person=person,
                        bbox=np.asarray(bbox).tolist())
