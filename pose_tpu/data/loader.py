@@ -47,6 +47,18 @@ def imread(path):
     return arr
 
 
+def condition_image(image):
+    """Normalize an imread result to HxWx3 uint8 RGB (gray replicated,
+    alpha stripped, PNG floats rescaled) — the parse-time conditioning of
+    the reference's matplotlib reads (datasets.py:118-121)."""
+    if image.ndim == 2:
+        image = image[..., None].repeat(3, axis=-1)
+    image = image[..., :3]
+    if image.dtype != np.uint8:
+        image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    return image
+
+
 def attention_map(side_in, stride, image_coords, attention):
     """Host replica of utils.get_attention (utils.py:14-42)."""
     side_out = (side_in - 1) // stride + 1
@@ -174,12 +186,7 @@ class PoseLoader:
             out['bbox_quad'] = cameralib.reproject_points(
                 corners, cam, new_cam).astype(np.float32)
         if decode:
-            image = imread(sample['image'])
-            if image.ndim == 2:
-                image = image[..., None].repeat(3, axis=-1)
-            image = image[..., :3]
-            if image.dtype != np.uint8:
-                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            image = condition_image(imread(sample['image']))
             canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
             out['canvas'] = canvas
             out['extent'] = extent

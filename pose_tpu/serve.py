@@ -172,6 +172,8 @@ class ArtifactPredictor:
             self._exported = jax_export.deserialize(f.read())
         self.in_shapes = tuple(tuple(a.shape)
                                for a in self._exported.in_avals)
+        self.out_shapes = tuple(tuple(a.shape)
+                                for a in self._exported.out_avals)
         self.batch_size = self.in_shapes[0][0]
         self.variables = None               # weights live in the artifact
         self._call = jax.jit(self._exported.call)

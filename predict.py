@@ -34,6 +34,7 @@ import argparse
 import glob
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -146,16 +147,9 @@ def load_frames(args):
     paths = sorted(glob.glob(args.images))
     if not paths:
         raise SystemExit(f'no files match {args.images!r}')
-    from pose_tpu.data.loader import imread
-    frames = []
-    for path in paths:
-        image = imread(path)
-        if image.ndim == 2:
-            image = image[..., None].repeat(3, axis=-1)
-        image = image[..., :3]
-        if image.dtype != np.uint8:
-            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-        frames.append((os.path.basename(path), image))
+    from pose_tpu.data.loader import condition_image, imread
+    frames = [(os.path.basename(path), condition_image(imread(path)))
+              for path in paths]
     canvas_hw = (max(f.shape[0] for _, f in frames),
                  max(f.shape[1] for _, f in frames))
     return frames, len(frames), canvas_hw
@@ -211,10 +205,23 @@ def _frame_boxes(key, image, idx, spec, flag):
 def expand_entries(frames, spec, flag='-bboxes'):
     """Lazily expand (key, image) frames into per-person
     (key, image, bbox, person) samples — the unit the model consumes."""
+    count = 0
     for idx, (key, image) in enumerate(frames):
+        count = idx + 1
         for person, box in enumerate(_frame_boxes(key, image, idx, spec,
                                                   flag)):
             yield key, image, box, person
+    # a per-frame LIST longer than the stream means frames went missing
+    # (glob typo, short video) — don't silently drop the user's boxes
+    if spec is not None and not isinstance(spec, dict):
+        try:
+            arr = np.asarray(spec, np.float32)
+        except ValueError:
+            arr = None
+        is_single_box = arr is not None and arr.ndim == 1
+        if not is_single_box and len(spec) > count:
+            raise SystemExit(f'{flag} lists {len(spec)} per-frame entries '
+                             f'but the stream yielded only {count} frames')
 
 
 def load_box_spec(spec_path):
@@ -278,8 +285,9 @@ def load_camera(spec_path, frame_hw, focal=0.0):
     else:
         t = np.asarray(spec.get('t', np.zeros(3)), np.float64).reshape(3)
         kwargs['optical_center'] = -R.T @ t
-    if spec.get('dist'):
-        kwargs['distortion_coeffs'] = np.asarray(spec['dist'], np.float64)
+    dist = np.asarray(spec.get('dist') or [], np.float64)
+    if dist.size and np.any(dist):      # explicit all-zeros IS a pinhole
+        kwargs['distortion_coeffs'] = dist
     return cameralib.Camera(**kwargs)
 
 
@@ -447,9 +455,32 @@ def main(argv=None):
     if args.joint_space and variant != 'rgb':
         raise SystemExit('-joint_space is an RGB-model head; depth-family '
                          'checkpoints have no 2D branch')
+    if args.extra_channel and variant != 'rgb':
+        raise SystemExit('-extra_channel (bbox mask input) exists only on '
+                         'the RGB trunk (resnet.py conv1 surgery)')
+    if args.depth_only and (args.bboxes or args.camera):
+        raise SystemExit('-depth_only models take -depth_bboxes / '
+                         '-depth_camera, not -bboxes / -camera')
+    if (args.nexponent or args.to_depth) and not need_depth:
+        raise SystemExit('-nexponent/-to_depth shape the DEPTH stream; '
+                         f'a {variant} model without -depth_only/-do_fusion '
+                         'never reads it')
+
+    info = build_info(args.skeleton)
+    if len(info.short_names) == args.num_joints:
+        key_index = info.key_index
+    else:
+        key_index = 0
+        print(f'warning: -skeleton {args.skeleton} has '
+              f'{len(info.short_names)} joints but -num_joints is '
+              f'{args.num_joints}; rooting poses at joint 0 — pass the '
+              'matching -skeleton for the trained root joint',
+              file=sys.stderr)
     if args.viz and not (args.joint_space and variant == 'rgb'):
         raise SystemExit('-viz needs a -joint_space RGB model (overlays '
                          'require full-frame 2D coordinates)')
+    if args.viz and len(info.short_names) != args.num_joints:
+        raise SystemExit('-viz needs -skeleton matching -num_joints')
 
     cframes = dframes = cam = dcam = None
     cspec = dspec = None
@@ -478,10 +509,6 @@ def main(argv=None):
                       max(f.shape[1] for _, f in dframes))
     # dual-stream counts are compared at the person-sample level after
     # bbox expansion (below) — frame counts alone can't catch a mismatch
-
-    info = build_info(args.skeleton)
-    key_index = (info.key_index if len(info.short_names) == args.num_joints
-                 else 0)
 
     # expand frames into per-person (key, image, bbox, person) samples —
     # the unit the model consumes; eager sources expand eagerly (entries
@@ -520,6 +547,11 @@ def main(argv=None):
             raise SystemExit(f'artifact expects {shape[3]}-channel input; '
                              f'the flags imply {want_ch} (check '
                              '-extra_channel / -depth_only)')
+        art_joints = predictor.out_shapes[0][1]
+        if art_joints != args.num_joints:
+            raise SystemExit(f'artifact predicts {art_joints} joints; '
+                             f'flags say -num_joints {args.num_joints} '
+                             '(and check -skeleton)')
     else:
         pargs = serve.default_args(
             model=args.model, side_in=args.side_in, stride=args.stride,
@@ -581,9 +613,6 @@ def main(argv=None):
                        bbox=np.asarray(bbox).tolist())
             records.append(rec)
             if args.viz:
-                if len(info.short_names) != args.num_joints:
-                    raise SystemExit('-viz needs -skeleton matching '
-                                     '-num_joints')
                 stem, ext = os.path.splitext(key)
                 viz_key = key if person == 0 else f'{stem}_p{person}{ext}'
                 save_viz(args.viz, viz_key, image, rec, bbox,

@@ -240,6 +240,8 @@ def test_artifact_model_path(fixture_dir):
         predict.main(argv[:2] + ['-side_in', '129'] + argv[4:])
     with pytest.raises(SystemExit):
         predict.main(argv + ['-extra_channel'])
+    with pytest.raises(SystemExit):   # joint count baked into the artifact
+        predict.main([a if a != '19' else '17' for a in argv])
 
 
 def test_multi_person_boxes(fixture_dir):
@@ -317,3 +319,35 @@ def test_input_validation(fixture_dir):
     with pytest.raises(SystemExit):            # fusion needs the depth glob
         predict.main(['-model_path', 'x.pth', '-do_fusion',
                       '-images', str(fixture_dir / 'frame_*.jpg')])
+    with pytest.raises(SystemExit):   # bbox mask channel is RGB-trunk-only
+        predict.main(['-model_path', 'x.pth', '-do_fusion',
+                      '-extra_channel',
+                      '-images', str(fixture_dir / 'frame_*.jpg'),
+                      '-depth_images', str(fixture_dir / 'depth_*.png')])
+    with pytest.raises(SystemExit):   # colour-side flags with -depth_only
+        predict.main(['-model_path', 'x.pth', '-depth_only',
+                      '-bboxes', 'b.json',
+                      '-depth_images', str(fixture_dir / 'depth_*.png')])
+    with pytest.raises(SystemExit):   # depth-enhance flags never read
+        predict.main(['-model_path', 'x.pth', '-nexponent',
+                      '-images', str(fixture_dir / 'frame_*.jpg')])
+
+
+def test_box_list_longer_than_stream(fixture_dir):
+    """A per-frame box list longer than the frames is a hard error, not a
+    silent truncation (a glob typo would otherwise drop user boxes)."""
+    with open(fixture_dir / 'toolong.json', 'w') as f:
+        json.dump([[0, 0, 9, 9]] * 5, f)        # 5 entries, 3 frames
+    with pytest.raises(SystemExit):
+        cli(fixture_dir, 'out_toolong.json',
+            ['-bboxes', str(fixture_dir / 'toolong.json')])
+
+
+def test_zero_distortion_is_pinhole(tmp_path):
+    """An explicit all-zero dist list parses as a pure pinhole (common in
+    calibration dumps) — no general-warp detour, no -depth_camera reject."""
+    with open(tmp_path / 'cam.json', 'w') as f:
+        json.dump(dict(K=[[100.0, 0, 8], [0, 100.0, 8], [0, 0, 1]],
+                       dist=[0, 0, 0, 0, 0]), f)
+    cam = predict.load_camera(str(tmp_path / 'cam.json'), (16, 16))
+    assert cam.distortion_coeffs is None

@@ -78,6 +78,7 @@ class TestArtifactPredictor:
         ap = ArtifactPredictor(path)
         assert ap.batch_size == 2
         assert ap.in_shapes == ((2, 65, 65, 3),)
+        assert ap.out_shapes[0] == (2, 5, 3)    # relat_cam carries J
         crops = np.random.RandomState(7).randn(2, 65, 65, 3).astype(
             np.float32)
         # the artifact's program is recompiled from serialized StableHLO, so
