@@ -8,21 +8,30 @@ from pose_tpu.metrics import (analyze_mat as analyze, coord_to_scale,
 
 
 class Mapper:
-    """Joint-name remapping between skeleton layouts (mat_utils.py:6-20)."""
+    """Joint-name remapping between skeleton layouts (mat_utils.py:6-20).
+
+    Expressed as a single dest-indexed gather table: entry j holds the
+    source-joint index feeding destination joint j, or -1 when `match`
+    leaves j unmapped (those rows stay zero).
+    """
 
     def __init__(self, curr_info, dest_info, match):
-        curr_mapper = dict(zip(curr_info.short_names,
-                               range(len(curr_info.short_names))))
-        dest_mapper = dict(zip(dest_info.short_names,
-                               range(len(dest_info.short_names))))
-        self.slice_dest = [dest_mapper[match[key]] for key in match]
-        self.slice_curr = [curr_mapper[key] for key in match]
-        self.len_dest = len(dest_info.short_names)
+        src_index = {name: i for i, name in enumerate(curr_info.short_names)}
+        table = np.full(len(dest_info.short_names), -1, dtype=np.int64)
+        for dest_pos, dest_name in enumerate(dest_info.short_names):
+            for src_name, mapped in match.items():
+                if mapped == dest_name:
+                    table[dest_pos] = src_index[src_name]
+        self.table = table
+        # Retained attribute names for reference-API compatibility.
+        self.len_dest = table.size
+        self.slice_dest = np.flatnonzero(0 <= table).tolist()
+        self.slice_curr = table[0 <= table].tolist()
 
     def map_coord(self, curr_coord):
-        dest_coord = np.zeros((self.len_dest, 3))
-        dest_coord[self.slice_dest] = curr_coord[self.slice_curr]
-        return dest_coord
+        curr_coord = np.asarray(curr_coord)
+        gathered = curr_coord[np.maximum(self.table, 0)]
+        return np.where((0 <= self.table)[:, None], gathered, 0.0)
 
 
 class MatSample:

@@ -78,6 +78,26 @@ def test_mat_utils_shim_surface():
     assert stats['mat_mean'] == pytest.approx(np.sqrt(8), rel=1e-4)
 
 
+def test_mat_utils_mapper():
+    """Mapper gathers matched joints into the dest layout, zeros elsewhere
+    (reference mat_utils.py:6-20 semantics)."""
+    import mat_utils
+
+    class Info:
+        def __init__(self, names):
+            self.short_names = names
+
+    curr = Info(['a', 'b', 'c', 'd'])
+    dest = Info(['x', 'y', 'z'])
+    mapper = mat_utils.Mapper(curr, dest, {'a': 'z', 'c': 'x'})
+    coords = np.arange(12, dtype=np.float64).reshape(4, 3)
+    out = mapper.map_coord(coords)
+    np.testing.assert_allclose(out[0], coords[2])   # x <- c
+    np.testing.assert_allclose(out[1], 0.0)         # y unmapped
+    np.testing.assert_allclose(out[2], coords[0])   # z <- a
+    assert mapper.len_dest == 3
+
+
 def test_log_shim():
     import log
     assert hasattr(log, 'Logger')
