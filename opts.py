@@ -83,6 +83,12 @@ def build_parser():
     parser.add_argument('-batch_size', default=64, type=int, help='global batch size')
     parser.add_argument('-semi_batch', default=16, type=int, help='batch size of the unlabeled semi-supervised stream')
     parser.add_argument('-n_cudas', default=2, type=int, help='Number of devices in the mesh (reference: cuda devices)')
+    parser.add_argument('-mesh_spatial', default=1, type=int,
+                        help='spatial-partitioning factor: folds the mesh to '
+                             '(n_cudas/mesh_spatial) x mesh_spatial '
+                             '(data, space) and shards image height over '
+                             "'space' (XLA inserts the conv halo exchanges); "
+                             '1 = pure data parallelism')
     parser.add_argument('-workers', default=2, type=int, help='Number of host threads decoding samples')
     parser.add_argument('-num_processes', default=6, type=int, help='process-pool size for the offline tools')
     parser.add_argument('-side_in', default=257, type=int, help='network input side (pixels)')

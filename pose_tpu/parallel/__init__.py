@@ -1,3 +1,3 @@
 from .mesh import (batch_sharding, init_distributed, is_main_process,
                    make_mesh, replicated_sharding, shard_batch,
-                   shard_replicated)
+                   shard_replicated, spatial_sharding)

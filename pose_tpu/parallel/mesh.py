@@ -63,9 +63,18 @@ def is_main_process():
     return jax.process_index() == 0
 
 
-def make_mesh(n_devices=None, axis_name='data'):
-    """A 1-D data-parallel mesh over the first `n_devices` devices (global
-    across processes in a distributed run)."""
+def make_mesh(n_devices=None, axis_name='data', spatial=1):
+    """A data-parallel mesh over the first `n_devices` devices (global
+    across processes in a distributed run).
+
+    spatial > 1 folds the devices into a 2-D ('data', 'space') mesh of
+    shape (n_devices // spatial, spatial): the batch still shards over
+    'data', while image HEIGHT shards over 'space' inside the jitted steps
+    (steps.set_spatial_sharding installs the with_sharding_constraint).
+    XLA's SPMD partitioner then inserts the convolution halo exchanges
+    over ICI automatically — TPU spatial partitioning. This trades
+    collective traffic for a smaller per-device batch, for canvases too
+    large (or batches too small) for pure DP."""
     devices = jax.devices()
     if n_devices is None or n_devices <= 0:
         n_devices = len(devices)
@@ -80,6 +89,18 @@ def make_mesh(n_devices=None, axis_name='data'):
             'loaders slice the global batch into equal contiguous blocks '
             '(got %d local devices, %d processes, %d global devices)'
             % (len(jax.local_devices()), jax.process_count(), len(devices)))
+    if spatial > 1:
+        assert n_devices % spatial == 0, (
+            '-mesh_spatial %d must divide the %d mesh devices'
+            % (spatial, n_devices))
+        if jax.process_count() > 1:
+            assert len(jax.local_devices()) % spatial == 0, (
+                'in cluster mode -mesh_spatial must divide the per-process '
+                'device count, so every process owns whole (data, space) '
+                'rows and its loader block keeps the full image height')
+        grid = np.array(devices[:n_devices]).reshape(
+            n_devices // spatial, spatial)
+        return Mesh(grid, (axis_name, 'space'))
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
@@ -88,14 +109,21 @@ def batch_sharding(mesh, axis_name='data'):
     return NamedSharding(mesh, P(axis_name))
 
 
+def spatial_sharding(mesh, axis_name='data'):
+    """Shard NHWC images: batch over 'data', height over 'space'."""
+    return NamedSharding(mesh, P(axis_name, 'space'))
+
+
 def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
 def shard_batch(mesh, batch, axis_name='data'):
-    """Place a pytree of host arrays with the batch dim sharded over the mesh.
-    The global batch must divide the mesh size (the loaders pad/crop to
-    multiples of it).
+    """Place a pytree of host arrays with the batch dim sharded over the
+    mesh's 'data' axis (the loaders pad/crop to multiples of the mesh size;
+    on a 2-D (data, space) mesh the rows are replicated over 'space' — the
+    H-split happens inside the jitted step, see steps.set_spatial_sharding,
+    because device_put cannot represent unevenly sharded dims like 257/4).
 
     Single-process: a plain sharded device_put. Multi-process: THE CONTRACT
     CHANGES — each process must pass only ITS contiguous block of the
@@ -103,14 +131,19 @@ def shard_batch(mesh, batch, axis_name='data'):
     loaders slice via _shard_indices), and the pieces assemble into one
     global jax.Array per leaf of local_n * process_count rows; device order
     in the mesh is process-major, so contiguous blocks preserve the global
-    row order. Passing the FULL global batch from every process in cluster
-    mode would silently duplicate each sample process_count times — size
-    host batches accordingly."""
+    row order (and with -mesh_spatial, whole (data, space) rows stay
+    process-local). Passing the FULL global batch from every process in
+    cluster mode would silently duplicate each sample process_count times —
+    size host batches accordingly."""
     sharding = batch_sharding(mesh, axis_name)
     if jax.process_count() > 1:
         nproc = jax.process_count()
-        local_dev = len([d for d in mesh.devices.flat
-                         if d.process_index == jax.process_index()])
+        if mesh.devices.ndim == 2:     # (data, space): count data-axis rows
+            local_dev = len([d for d in mesh.devices[:, 0].flat
+                             if d.process_index == jax.process_index()])
+        else:
+            local_dev = len([d for d in mesh.devices.flat
+                             if d.process_index == jax.process_index()])
 
         def place(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
@@ -118,7 +151,7 @@ def shard_batch(mesh, batch, axis_name='data'):
             x = np.asarray(x)
             assert x.shape[0] % max(local_dev, 1) == 0, (
                 'process-local batch block of %d rows does not divide this '
-                "process's %d mesh devices" % (x.shape[0], local_dev))
+                "process's %d data-axis mesh rows" % (x.shape[0], local_dev))
             return jax.make_array_from_process_local_data(
                 sharding, x,
                 global_shape=(x.shape[0] * nproc,) + x.shape[1:])

@@ -12,7 +12,8 @@ import numpy as np
 import jax
 
 from .. import metrics
-from ..parallel import make_mesh, shard_batch, shard_replicated
+from ..parallel import (make_mesh, shard_batch, shard_replicated,
+                        spatial_sharding)
 from . import schedules, steps
 
 
@@ -89,7 +90,17 @@ class BaseTrainer:
         self.args = args
         self.model = model
         self.data_info = data_info
-        self.mesh = mesh if mesh is not None else make_mesh(args.n_cudas)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            args.n_cudas, spatial=getattr(args, 'mesh_spatial', 1))
+        # -mesh_spatial: constrain the jitted steps' image inputs to
+        # (data, space) so GSPMD splits H over 'space' with conv halo
+        # exchanges; batches stay DP-placed (device_put can't represent
+        # the uneven 257/space split, with_sharding_constraint can).
+        # Module-level install: affects steps traced after this point —
+        # the trainers build and trace all their steps after __init__.
+        steps.set_spatial_sharding(
+            spatial_sharding(self.mesh)
+            if 'space' in self.mesh.axis_names else None)
         self.tx = steps.make_optimizer(args)
         self.state = None
 

@@ -54,6 +54,31 @@ def _compute_dtype(args):
     return jnp.bfloat16 if args.half_acc else jnp.float32
 
 
+# Spatial partitioning (-mesh_spatial): a (data, space) sharding installed
+# by the trainer. _apply constrains its image inputs to it INSIDE the jitted
+# program — GSPMD then slices H over 'space' (padding uneven extents, e.g.
+# 257 over 4) and inserts the convolution halo exchanges over ICI. Device
+# placement stays plain DP: jax.device_put cannot represent unevenly
+# sharded dims, with_sharding_constraint can.
+_SPATIAL_SHARDING = None
+
+
+def set_spatial_sharding(sharding):
+    """Install (or clear, with None) the image-input sharding constraint.
+    Affects steps traced AFTER the call — trainers install it in __init__,
+    before any step compiles."""
+    global _SPATIAL_SHARDING
+    _SPATIAL_SHARDING = sharding
+
+
+def _constrain_inputs(inputs):
+    if _SPATIAL_SHARDING is None:
+        return inputs
+    return tuple(
+        jax.lax.with_sharding_constraint(x, _SPATIAL_SHARDING)
+        if jnp.ndim(x) == 4 else x for x in inputs)
+
+
 def _cast(tree, dtype):
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
@@ -65,7 +90,7 @@ def _apply(model, params, batch_stats, inputs, train, dtype):
     outputs cast back to fp32 (the reference's .float() at
     depth_train.py:653-655)."""
     variables = {'params': _cast(params, dtype), 'batch_stats': batch_stats}
-    inputs = tuple(_cast(x, dtype) for x in inputs)
+    inputs = _constrain_inputs(tuple(_cast(x, dtype) for x in inputs))
     if train:
         out, updates = model.apply(variables, *inputs, train=True,
                                    mutable=['batch_stats'])

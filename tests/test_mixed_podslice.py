@@ -217,6 +217,95 @@ def test_partial_conv_step_on_8_device_mesh(combined):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_spatial_partitioning_matches_dp(combined):
+    """-mesh_spatial folds the mesh to (data, space); the steps constrain
+    their image inputs to P('data', 'space') so GSPMD splits H over 'space'
+    (odd 65-px height = uneven shards, padded by XLA) and inserts the conv
+    halo exchanges. One train step on the 2x4 spatial mesh must match pure
+    DP on the 1-D mesh: same loss, same updated params."""
+    import jax.numpy as jnp
+
+    from pose_tpu.models import build_model
+    from pose_tpu.parallel import (make_mesh, shard_batch, shard_replicated,
+                                   spatial_sharding)
+    from pose_tpu.train import steps
+
+    args = make_args(combined, 'ntu')
+    model = build_model(args)
+    tx = steps.make_optimizer(args)
+
+    rng = np.random.RandomState(0)
+    host = dict(
+        image=rng.rand(16, 65, 65, 3).astype(np.float32),
+        true_cam=rng.uniform(-300, 300, (16, 17, 3)).astype(np.float32),
+        true_val=np.ones((16, 17), bool))
+
+    outs = {}
+    try:
+        for name, spatial in (('dp', 1), ('sp', 4)):
+            mesh = make_mesh(8, spatial=spatial)
+            steps.set_spatial_sharding(
+                spatial_sharding(mesh) if spatial > 1 else None)
+            # new step per mesh: the constraint binds at trace time
+            step = steps.make_cam_train_step(model, args, 0, tx)
+            state = shard_replicated(mesh, steps.init_state(
+                model, args, tx, (jnp.zeros((1, 65, 65, 3)),)))
+            batch = shard_batch(mesh, host)
+            assert tuple(batch['image'].sharding.spec) == ('data',)
+            state, out = step(state, batch, 1e-4)
+            outs[name] = (float(out['cam_loss']), np.asarray(
+                jax.tree_util.tree_leaves(state.params)[0]))
+    finally:
+        steps.set_spatial_sharding(None)
+
+    loss_dp, p_dp = outs['dp']
+    loss_sp, p_sp = outs['sp']
+    assert abs(loss_dp - loss_sp) < 1e-5 * max(1.0, abs(loss_dp))
+    assert np.max(np.abs(p_dp - p_sp)) < 1e-5
+
+
+def test_mesh_spatial_trainer_end_to_end(tmp_path_factory):
+    """-mesh_spatial 2 through the full Trainer/Loader stack: BaseTrainer
+    folds the mesh to (data, space), installs the step constraint, and a
+    cam_train epoch (device-warped loader batches, mesh padding, LossMeter)
+    matches the pure-DP epoch."""
+    import jax.numpy as jnp
+
+    from datasets import build_info
+    from pose_tpu.data.loader import PoseLoader
+    from pose_tpu.data.synthetic import make_cmu_fixture
+    from pose_tpu.models import build_model
+    from pose_tpu.train import steps
+    from pose_tpu.train.engine import RgbTrainer
+    from tests.mp_worker import make_args as cluster_args
+
+    cmu = make_cmu_fixture(str(tmp_path_factory.mktemp('cmu_sp')),
+                           num_train=8, num_valid=4)
+    info = build_info('cmu')
+    losses = {}
+    try:
+        for spatial in (1, 2):
+            args = cluster_args(cmu)
+            args.mesh_spatial = spatial
+            model = build_model(args, 'rgb')
+            trainer = RgbTrainer(args, model, info)
+            if spatial > 1:
+                assert trainer.mesh.devices.shape == (4, 2)
+                assert steps._SPATIAL_SHARDING is not None
+            else:
+                assert steps._SPATIAL_SHARDING is None
+            trainer.init_state(
+                (jnp.ones((1, args.side_in, args.side_in, 3)),))
+            rec = trainer.cam_train(1, PoseLoader(args, 'train', info),
+                                    args.learn_rate)
+            losses[spatial] = rec['cam_train_loss']
+    finally:
+        steps.set_spatial_sharding(None)
+    assert np.isfinite(losses[2])
+    # identical data/augmentation; only the conv partitioning differs
+    assert abs(losses[1] - losses[2]) < 1e-3 * max(1.0, abs(losses[1]))
+
+
 def test_members_advance_epochs_and_streams_differ(combined):
     """MixedLoader must drive each member generator to StopIteration so the
     member's own end-of-epoch bookkeeping runs: epoch 2 must reshuffle and
