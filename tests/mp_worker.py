@@ -33,7 +33,7 @@ def make_args(metadata_path):
         print_freq=1)
 
 
-def run_rgb_epoch(fixture):
+def run_rgb_epoch(fixture, mesh_spatial=1):
     """One cam train epoch + one eval epoch through the full Trainer/Loader
     stack; returns the record dict. Runs identically single- or
     multi-process (the callers differ only in init_distributed)."""
@@ -45,6 +45,7 @@ def run_rgb_epoch(fixture):
     from pose_tpu.train.engine import RgbTrainer
 
     args = make_args(fixture)
+    args.mesh_spatial = mesh_spatial
     info = build_info('cmu')
     model = build_model(args, 'rgb')
     trainer = RgbTrainer(args, model, info)
@@ -166,7 +167,9 @@ def main():
     assert len(jax.devices()) == 4 * int(nprocs), jax.devices()
 
     run = {'rgb': run_rgb_epoch, 'distill': run_distill_epoch,
-           'mixed': run_mixed_epoch}[mode]
+           'mixed': run_mixed_epoch,
+           # -mesh_spatial under a cluster: (data, space) rows process-local
+           'rgb_spatial': lambda f: run_rgb_epoch(f, mesh_spatial=2)}[mode]
     result = dict(run(fixture))
     result['rank'] = int(rank)
     with open(out_path, 'w') as f:

@@ -96,6 +96,23 @@ def test_two_process_training_matches_single_process(cmu, rgb_reference,
                           rtol=1e-5), (key, results[0], rgb_reference)
 
 
+def test_two_process_spatial_partitioning(cmu, rgb_reference, tmp_path):
+    """-mesh_spatial 2 under cluster mode: the 8 global devices fold to a
+    (4, 2) (data, space) grid whose rows stay process-local (2 per rank),
+    loader blocks reassemble over the data axis only, and the steps'
+    sharding constraint drives the conv halo exchanges across gloo. Must
+    agree rank-vs-rank exactly and reproduce the DP single-process epoch
+    (halo/reduction-order float noise only)."""
+    results = run_workers('rgb_spatial', cmu, tmp_path)
+    for key in ('train_loss', 'test_loss', 'cam_mean', 'score_pck',
+                'score_auc'):
+        assert np.isclose(results[0][key], results[1][key],
+                          rtol=1e-6), (key, results)
+    for key in ('train_loss', 'test_loss', 'cam_mean'):
+        assert np.isclose(results[0][key], rgb_reference[key],
+                          rtol=5e-4), (key, results[0], rgb_reference)
+
+
 def test_three_process_ranks_agree(cmu, tmp_path):
     """Cluster generality beyond the 2-rank reference shape: 3 processes x
     4 devices (global batch 12, 16 train samples -> a padded final batch
