@@ -89,7 +89,12 @@ class PoseLoader:
         self.phase = phase
         self.data_info = data_info
         self.at_test = phase != 'train'
-        self.mesh = mesh if mesh is not None else make_mesh(args.n_cudas)
+        # mirror the trainer's mesh shape (-mesh_spatial folds a 'space'
+        # axis): batch placement is P('data') either way, but matching
+        # meshes make the trainer's shard_batch a no-op instead of a
+        # per-batch cross-device copy of the warped images
+        self.mesh = mesh if mesh is not None else make_mesh(
+            args.n_cudas, spatial=getattr(args, 'mesh_spatial', 1))
 
         if samples is None:
             metadata = sample_lib.load_metadata(args)

@@ -96,9 +96,15 @@ class BaseTrainer:
         # (data, space) so GSPMD splits H over 'space' with conv halo
         # exchanges; batches stay DP-placed (device_put can't represent
         # the uneven 257/space split, with_sharding_constraint can).
-        # Module-level install: affects steps traced after this point —
-        # the trainers build and trace all their steps after __init__.
-        steps.set_spatial_sharding(
+        # Bound per-trainer on THIS args object: the step factories
+        # snapshot args._spatial_sharding when called, so lazily-built
+        # steps can't pick up another trainer's setting.
+        assert (getattr(args, 'mesh_spatial', 1) <= 1
+                or 'space' in self.mesh.axis_names), (
+            '-mesh_spatial %d was requested but the trainer received an '
+            'explicit mesh without a space axis — build it with '
+            'make_mesh(n, spatial=...)' % args.mesh_spatial)
+        args._spatial_sharding = (
             spatial_sharding(self.mesh)
             if 'space' in self.mesh.axis_names else None)
         self.tx = steps.make_optimizer(args)

@@ -54,28 +54,40 @@ def _compute_dtype(args):
     return jnp.bfloat16 if args.half_acc else jnp.float32
 
 
-# Spatial partitioning (-mesh_spatial): a (data, space) sharding installed
-# by the trainer. _apply constrains its image inputs to it INSIDE the jitted
-# program — GSPMD then slices H over 'space' (padding uneven extents, e.g.
-# 257 over 4) and inserts the convolution halo exchanges over ICI. Device
-# placement stays plain DP: jax.device_put cannot represent unevenly
-# sharded dims, with_sharding_constraint can.
+# Spatial partitioning (-mesh_spatial): a (data, space) sharding the steps
+# constrain their image inputs to INSIDE the jitted program — GSPMD then
+# slices H over 'space' (padding uneven extents, e.g. 257 over 4) and
+# inserts the convolution halo exchanges over ICI. Device placement stays
+# plain DP: jax.device_put cannot represent unevenly sharded dims,
+# with_sharding_constraint can.
+#
+# Binding: every step factory snapshots the constraint when the FACTORY is
+# called (_spatial_for below) — per-trainer via args._spatial_sharding (set
+# by BaseTrainer.__init__), else the module-level install. A trace-time
+# global read would be wrong: trainers trace steps lazily at the first
+# batch, so a second trainer's install could silently re-bind the first
+# trainer's not-yet-traced steps.
 _SPATIAL_SHARDING = None
 
 
 def set_spatial_sharding(sharding):
-    """Install (or clear, with None) the image-input sharding constraint.
-    Affects steps traced AFTER the call — trainers install it in __init__,
-    before any step compiles."""
+    """Install (or clear, with None) the module-default image-input
+    sharding constraint. Picked up by step FACTORIES called after this
+    (and by direct _apply callers at trace time); trainers override it
+    per-instance through args._spatial_sharding."""
     global _SPATIAL_SHARDING
     _SPATIAL_SHARDING = sharding
 
 
-def _constrain_inputs(inputs):
-    if _SPATIAL_SHARDING is None:
+def _spatial_for(args):
+    return getattr(args, '_spatial_sharding', _SPATIAL_SHARDING)
+
+
+def _constrain_inputs(inputs, sharding):
+    if sharding is None:
         return inputs
     return tuple(
-        jax.lax.with_sharding_constraint(x, _SPATIAL_SHARDING)
+        jax.lax.with_sharding_constraint(x, sharding)
         if jnp.ndim(x) == 4 else x for x in inputs)
 
 
@@ -85,12 +97,16 @@ def _cast(tree, dtype):
         else x, tree)
 
 
-def _apply(model, params, batch_stats, inputs, train, dtype):
+def _apply(model, params, batch_stats, inputs, train, dtype, spatial='MOD'):
     """Forward with bf16 compute: params and inputs cast to `dtype`, float
     outputs cast back to fp32 (the reference's .float() at
-    depth_train.py:653-655)."""
+    depth_train.py:653-655). `spatial` is the image-input sharding
+    constraint — factories pass their factory-time snapshot; the 'MOD'
+    default reads the module install at trace time (direct callers)."""
     variables = {'params': _cast(params, dtype), 'batch_stats': batch_stats}
-    inputs = _constrain_inputs(tuple(_cast(x, dtype) for x in inputs))
+    spatial = _SPATIAL_SHARDING if spatial == 'MOD' else spatial
+    inputs = _constrain_inputs(tuple(_cast(x, dtype) for x in inputs),
+                               spatial)
     if train:
         out, updates = model.apply(variables, *inputs, train=True,
                                    mutable=['batch_stats'])
@@ -128,12 +144,14 @@ def make_cam_train_step(model, args, key_index, tx):
     """cam_train (train.py:145-192): 3D loss only, no loss_div."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             cam_feat, new_stats = _apply(model, params, state.batch_stats,
-                                         (batch['image'],), True, dtype)
+                                         (batch['image'],), True, dtype,
+                                         spatial=spatial)
             _, spec = decode_spec_cam(cam_feat, args.depth, args.num_joints,
                                       args.depth_range, key_index,
                                       batch['true_cam'])
@@ -155,12 +173,13 @@ def make_joint_train_step(model, args, key_index, tx, do_track):
     loss = 0.5*(cam+mat) + recon (train.py:105-112)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, mat_feat), new_stats = _apply(
                 model, params, state.batch_stats, (batch['image'],), True,
-                dtype)
+                dtype, spatial=spatial)
             hm2 = heatmap.to_heatmap2d(mat_feat, args.num_joints)
             spec_mat = heatmap.decode2d(hm2, args.side_in)
             mat_loss = losses.masked_mean_loss(
@@ -197,12 +216,13 @@ def make_rgb_eval_step(model, args, key_index):
     and back-rotation run on host over the returned arrays."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
     joint_space = args.joint_space
 
     @jax.jit
     def step(state, batch):
         out, _ = _apply(model, state.params, state.batch_stats,
-                        (batch['image'],), False, dtype)
+                        (batch['image'],), False, dtype, spatial=spatial)
         result = {}
         if joint_space:
             cam_feat, mat_feat = out
@@ -240,13 +260,14 @@ def make_vanilla_train_step(model, args, key_index, tx):
     returns (cam_feat, last_feat)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, _), new_stats = _apply(
                 model, params, state.batch_stats, (batch['in_image'],), True,
-                dtype)
+                dtype, spatial=spatial)
             _, spec = decode_spec_cam(cam_feat, args.depth, args.num_joints,
                                       args.depth_range, key_index,
                                       batch['true_cam'])
@@ -266,13 +287,15 @@ def make_fusion_train_step(model, args, key_index, tx):
     """fusion_train (depth_train.py:286-373): model(color, depth)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
             (cam_feat, _), new_stats = _apply(
                 model, params, state.batch_stats,
-                (batch['color'], batch['depth']), True, dtype)
+                (batch['color'], batch['depth']), True, dtype,
+                spatial=spatial)
             _, spec = decode_spec_cam(cam_feat, args.depth, args.num_joints,
                                       args.depth_range, key_index,
                                       batch['true_cam'])
@@ -331,6 +354,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
     """
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
     bn_train = not args.do_freeze
 
     def teacher_forward(teacher_vars, batch):
@@ -341,7 +365,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
                       else (batch['color'],))
         (teach_cam, teach_last), new_teach_stats = _apply(
             teacher, teacher_vars['params'], teacher_vars['batch_stats'],
-            inputs, bn_train, dtype)
+            inputs, bn_train, dtype, spatial=spatial)
         teacher_vars = dict(params=teacher_vars['params'],
                             batch_stats=new_teach_stats)
         return (jax.lax.stop_gradient(teach_cam),
@@ -360,7 +384,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
         def loss_fn(params):
             (cam_feat, last_feat), new_stats = _apply(
                 model, params, state.batch_stats, (batch['color'],), bn_train,
-                dtype)
+                dtype, spatial=spatial)
             if not bn_train:
                 new_stats = state.batch_stats
             d_loss = distill_loss(args, teach_last, last_feat,
@@ -375,7 +399,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
             if with_semi:
                 (s_cam, s_last), new_stats2 = _apply(
                     model, params, new_stats, (semi_batch['color'],),
-                    bn_train, dtype)
+                    bn_train, dtype, spatial=spatial)
                 if bn_train:
                     new_stats = new_stats2
                 s_loss = distill_loss(args, s_teach_last, s_last,
@@ -396,6 +420,7 @@ def make_depth_eval_step(model, args, key_index, fusion):
     """vanilla_test / fusion_test forward+decode (depth_train.py:477-607)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
+    spatial = _spatial_for(args)
 
     @jax.jit
     def step(state, batch):
@@ -403,7 +428,7 @@ def make_depth_eval_step(model, args, key_index, fusion):
                   else (batch['in_image'],))
         (cam_feat, last_feat), _ = _apply(model, state.params,
                                           state.batch_stats, inputs, False,
-                                          dtype)
+                                          dtype, spatial=spatial)
         relat, spec = decode_spec_cam(cam_feat, args.depth, args.num_joints,
                                       args.depth_range, key_index,
                                       batch['true_cam'])

@@ -22,6 +22,7 @@ running_var correction (documented in steps.py).
 Measured max deviations are recorded in docs/PARITY.md.
 """
 
+import os
 import types
 
 import numpy as np
@@ -718,8 +719,10 @@ class TestTwinConvergenceMPJPE:
     # trajectory drift peaks — the comparison is meaningful at the end
     # point both optimizers settle into, not on the slope; measured:
     # 60 steps = 90 mm / 2.0 mm gap, 300 = ~5 mm / 1.8 mm, converged
-    # floor = sub-mm metrics where the gap must be sub-mm too)
-    N_STEPS = 1000
+    # floor = sub-mm metrics where the gap must be sub-mm too).
+    # ~7 min on the 1-vCPU box; POSE_TPU_TWIN_STEPS shortens local
+    # iteration (the 1 mm assertion only holds at the converged default).
+    N_STEPS = int(os.environ.get('POSE_TPU_TWIN_STEPS', 1000))
     LR = 2e-5   # the reference's CMU rate (cmu_train.sh:21)
     NB = 8      # one full-batch overfit set
 
