@@ -93,6 +93,12 @@ class PoseLoader:
         # axis): batch placement is P('data') either way, but matching
         # meshes make the trainer's shard_batch a no-op instead of a
         # per-batch cross-device copy of the warped images
+        assert (mesh is None or getattr(args, 'mesh_spatial', 1) <= 1
+                or 'space' in mesh.axis_names), (
+            '-mesh_spatial %d was requested but the loader received an '
+            'explicit mesh without a space axis — pass the trainer mesh '
+            'or build one with make_mesh(n, spatial=...)'
+            % args.mesh_spatial)
         self.mesh = mesh if mesh is not None else make_mesh(
             args.n_cudas, spatial=getattr(args, 'mesh_spatial', 1))
 
@@ -352,6 +358,12 @@ class PoseLoader:
                 impl = 'mxu'
         return impl
 
+    def _data_extent(self):
+        """Rows required for P('data') placement: the mesh's data-axis
+        size — NOT the device count, since a -mesh_spatial 'space' axis
+        replicates batch rows rather than consuming them."""
+        return dict(self.mesh.shape).get('data', self.mesh.devices.size)
+
     def _pad_to_mesh(self, batch, true_n=None, offset=0):
         n = len(batch['canvas'])
         if jax.process_count() > 1:
@@ -364,7 +376,7 @@ class PoseLoader:
                 batch['true_val'] = np.array(batch['true_val'])
                 batch['true_val'][keep:] = False
             return batch, true_n
-        m = self.mesh.devices.size
+        m = self._data_extent()
         if n % m == 0:
             return batch, n
         pad = m - n % m
@@ -377,16 +389,16 @@ class PoseLoader:
 
     def _shard_indices(self, batches):
         """Multi-process batch slicing: every process builds the SAME global
-        index order (seeded shuffle), pads each global batch to the mesh
-        size by repeating the last index (the per-sample RNG is keyed on the
-        sample index, so a repeated index reproduces the single-process
-        padded row bit-exactly), and takes its contiguous block — the block
-        shard_batch reassembles into the global array. Returns
-        (local_batches, [(global_true_n, local_offset), ...])."""
+        index order (seeded shuffle), pads each global batch to the mesh's
+        data-axis extent by repeating the last index (the per-sample RNG is
+        keyed on the sample index, so a repeated index reproduces the
+        single-process padded row bit-exactly), and takes its contiguous
+        block — the block shard_batch reassembles into the global array.
+        Returns (local_batches, [(global_true_n, local_offset), ...])."""
         nproc = jax.process_count()
         if nproc == 1:
             return batches, [(None, 0)] * len(batches)
-        m = self.mesh.devices.size
+        m = self._data_extent()
         rank = jax.process_index()
         local_batches, meta = [], []
         for idxs in batches:

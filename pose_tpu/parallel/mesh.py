@@ -138,12 +138,11 @@ def shard_batch(mesh, batch, axis_name='data'):
     sharding = batch_sharding(mesh, axis_name)
     if jax.process_count() > 1:
         nproc = jax.process_count()
-        if mesh.devices.ndim == 2:     # (data, space): count data-axis rows
-            local_dev = len([d for d in mesh.devices[:, 0].flat
-                             if d.process_index == jax.process_index()])
-        else:
-            local_dev = len([d for d in mesh.devices.flat
-                             if d.process_index == jax.process_index()])
+        # data-axis rows owned per process: make_mesh guarantees equal
+        # device counts per process and (with spatial) whole process-local
+        # (data, space) rows, so this holds for 1-D and 2-D meshes alike —
+        # and stays correct for any axis order, unlike indexing devices[:, 0]
+        local_dev = dict(mesh.shape)[axis_name] // nproc
 
         def place(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:

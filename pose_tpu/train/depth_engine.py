@@ -69,7 +69,8 @@ class DepthTrainer(BaseTrainer):
         self._fusion_step = None
         self._distill_step = None
         self._eval_step = steps.make_depth_eval_step(
-            model, args, key, fusion=args.do_fusion and not args.do_teach)
+            model, args, key, fusion=args.do_fusion and not args.do_teach,
+            spatial=self._spatial)
 
     def set_teacher(self, teacher, teacher_vars):
         self.teacher = teacher
@@ -99,7 +100,8 @@ class DepthTrainer(BaseTrainer):
     def vanilla_train(self, epoch, data_loader, lr):
         if self._vanilla_step is None:
             self._vanilla_step = steps.make_vanilla_train_step(
-                self.model, self.args, self.data_info.key_index, self.tx)
+                self.model, self.args, self.data_info.key_index, self.tx,
+                spatial=self._spatial)
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
@@ -133,7 +135,8 @@ class DepthTrainer(BaseTrainer):
     def fusion_train(self, epoch, data_loader, lr):
         if self._fusion_step is None:
             self._fusion_step = steps.make_fusion_train_step(
-                self.model, self.args, self.data_info.key_index, self.tx)
+                self.model, self.args, self.data_info.key_index, self.tx,
+                spatial=self._spatial)
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
@@ -165,7 +168,7 @@ class DepthTrainer(BaseTrainer):
                 self.model, self.teacher, self.args,
                 self.data_info.key_index, self.tx,
                 teacher_is_fusion=self.args.do_fusion,
-                with_semi=self.args.semi_teach)
+                with_semi=self.args.semi_teach, spatial=self._spatial)
         alpha = schedules.dist_weight(self.args, epoch)
         print('\n=> alpha value: {:.2f}'.format(alpha))
 

@@ -96,17 +96,17 @@ class BaseTrainer:
         # (data, space) so GSPMD splits H over 'space' with conv halo
         # exchanges; batches stay DP-placed (device_put can't represent
         # the uneven 257/space split, with_sharding_constraint can).
-        # Bound per-trainer on THIS args object: the step factories
-        # snapshot args._spatial_sharding when called, so lazily-built
-        # steps can't pick up another trainer's setting.
+        # Held on the TRAINER and passed explicitly to every step factory:
+        # lazily-built steps can never pick up another trainer's setting,
+        # even when trainers share one args namespace.
         assert (getattr(args, 'mesh_spatial', 1) <= 1
                 or 'space' in self.mesh.axis_names), (
             '-mesh_spatial %d was requested but the trainer received an '
             'explicit mesh without a space axis — build it with '
             'make_mesh(n, spatial=...)' % args.mesh_spatial)
-        args._spatial_sharding = (
-            spatial_sharding(self.mesh)
-            if 'space' in self.mesh.axis_names else None)
+        self._spatial = (spatial_sharding(self.mesh)
+                         if 'space' in self.mesh.axis_names else None)
+        self._foreign_mesh_warned = False
         self.tx = steps.make_optimizer(args)
         self.state = None
 
@@ -135,6 +135,21 @@ class BaseTrainer:
         """Select the device-bound keys of a loader batch and place them on
         the mesh (host-only extras like back_rotation/_true_size stay out)."""
         selected = {k: batch[k] for k in keys if k in batch}
+        if not self._foreign_mesh_warned:
+            from jax.sharding import NamedSharding
+            for v in selected.values():
+                sh = getattr(v, 'sharding', None)
+                if isinstance(sh, NamedSharding) and sh.mesh != self.mesh:
+                    import sys
+                    print('[pose_tpu] WARNING: loader batches arrive on a '
+                          'mesh shaped %s but the trainer mesh is %s — '
+                          'every batch pays a cross-device reshard; pass '
+                          'the trainer mesh to the loader or set '
+                          '-mesh_spatial consistently'
+                          % (dict(sh.mesh.shape), dict(self.mesh.shape)),
+                          file=sys.stderr)
+                    self._foreign_mesh_warned = True
+                    break
         return shard_batch(self.mesh, selected)
 
     @staticmethod
@@ -153,19 +168,21 @@ class RgbTrainer(BaseTrainer):
         self._cam_step = None
         self._joint_steps = {}
         self._recon_step = None
-        self._eval_step = steps.make_rgb_eval_step(model, args, key)
+        self._eval_step = steps.make_rgb_eval_step(
+            model, args, key, spatial=self._spatial)
 
     def _get_cam_step(self):
         if self._cam_step is None:
             self._cam_step = steps.make_cam_train_step(
-                self.model, self.args, self.data_info.key_index, self.tx)
+                self.model, self.args, self.data_info.key_index, self.tx,
+                spatial=self._spatial)
         return self._cam_step
 
     def _get_joint_step(self, do_track):
         if do_track not in self._joint_steps:
             self._joint_steps[do_track] = steps.make_joint_train_step(
                 self.model, self.args, self.data_info.key_index, self.tx,
-                do_track)
+                do_track, spatial=self._spatial)
         return self._joint_steps[do_track]
 
     def train(self, epoch, data_loader):

@@ -61,26 +61,27 @@ def _compute_dtype(args):
 # plain DP: jax.device_put cannot represent unevenly sharded dims,
 # with_sharding_constraint can.
 #
-# Binding: every step factory snapshots the constraint when the FACTORY is
-# called (_spatial_for below) — per-trainer via args._spatial_sharding (set
-# by BaseTrainer.__init__), else the module-level install. A trace-time
-# global read would be wrong: trainers trace steps lazily at the first
-# batch, so a second trainer's install could silently re-bind the first
-# trainer's not-yet-traced steps.
+# Binding: every step factory takes an explicit `spatial=` argument —
+# trainers pass their own trainer._spatial (per-instance, so a second
+# trainer can never re-bind another's lazily-built steps, even when both
+# share one args namespace). Callers that omit it get the module install
+# as it stands when the FACTORY is called (USE_INSTALL sentinel) — a
+# trace-time global read would be wrong: steps trace lazily at the first
+# batch.
 _SPATIAL_SHARDING = None
+USE_INSTALL = object()
 
 
 def set_spatial_sharding(sharding):
     """Install (or clear, with None) the module-default image-input
-    sharding constraint. Picked up by step FACTORIES called after this
-    (and by direct _apply callers at trace time); trainers override it
-    per-instance through args._spatial_sharding."""
+    sharding constraint, picked up by step factories called without an
+    explicit spatial= (and by direct _apply callers at trace time)."""
     global _SPATIAL_SHARDING
     _SPATIAL_SHARDING = sharding
 
 
-def _spatial_for(args):
-    return getattr(args, '_spatial_sharding', _SPATIAL_SHARDING)
+def _resolve_spatial(spatial):
+    return _SPATIAL_SHARDING if spatial is USE_INSTALL else spatial
 
 
 def _constrain_inputs(inputs, sharding):
@@ -97,14 +98,15 @@ def _cast(tree, dtype):
         else x, tree)
 
 
-def _apply(model, params, batch_stats, inputs, train, dtype, spatial='MOD'):
+def _apply(model, params, batch_stats, inputs, train, dtype,
+           spatial=USE_INSTALL):
     """Forward with bf16 compute: params and inputs cast to `dtype`, float
     outputs cast back to fp32 (the reference's .float() at
     depth_train.py:653-655). `spatial` is the image-input sharding
-    constraint — factories pass their factory-time snapshot; the 'MOD'
-    default reads the module install at trace time (direct callers)."""
+    constraint — factories pass their factory-call-time value; the default
+    reads the module install at trace time (direct callers)."""
     variables = {'params': _cast(params, dtype), 'batch_stats': batch_stats}
-    spatial = _SPATIAL_SHARDING if spatial == 'MOD' else spatial
+    spatial = _resolve_spatial(spatial)
     inputs = _constrain_inputs(tuple(_cast(x, dtype) for x in inputs),
                                spatial)
     if train:
@@ -140,11 +142,11 @@ def _update(tx, state, grads, lr):
 # --------------------------------------------------------------- RGB engine
 
 
-def make_cam_train_step(model, args, key_index, tx):
+def make_cam_train_step(model, args, key_index, tx, spatial=USE_INSTALL):
     """cam_train (train.py:145-192): 3D loss only, no loss_div."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
@@ -167,13 +169,14 @@ def make_cam_train_step(model, args, key_index, tx):
     return step
 
 
-def make_joint_train_step(model, args, key_index, tx, do_track):
+def make_joint_train_step(model, args, key_index, tx, do_track,
+                          spatial=USE_INSTALL):
     """joint_train (train.py:55-142): 2D + 3D losses, and from epoch 2 with
     -do_track the differentiable reconstruction loss
     loss = 0.5*(cam+mat) + recon (train.py:105-112)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
         def loss_fn(params):
@@ -211,12 +214,12 @@ def make_joint_train_step(model, args, key_index, tx, do_track):
     return step
 
 
-def make_rgb_eval_step(model, args, key_index):
+def make_rgb_eval_step(model, args, key_index, spatial=USE_INSTALL):
     """Forward + decode for cam_test/joint_test (train.py:205-368); metrics
     and back-rotation run on host over the returned arrays."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
     joint_space = args.joint_space
 
     @jax.jit
@@ -255,12 +258,13 @@ def _depth_cam_loss(criterion, spec, true_cam, valid, loss_div):
                                    true_cam / loss_div, valid)
 
 
-def make_vanilla_train_step(model, args, key_index, tx):
+def make_vanilla_train_step(model, args, key_index, tx,
+                            spatial=USE_INSTALL):
     """vanilla_train (depth_train.py:376-462): single modality, the model
     returns (cam_feat, last_feat)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
@@ -283,11 +287,12 @@ def make_vanilla_train_step(model, args, key_index, tx):
     return step
 
 
-def make_fusion_train_step(model, args, key_index, tx):
+def make_fusion_train_step(model, args, key_index, tx,
+                           spatial=USE_INSTALL):
     """fusion_train (depth_train.py:286-373): model(color, depth)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):
@@ -336,7 +341,8 @@ def distill_loss(args, teach_last, last_feat, atten_map):
 
 
 def make_distill_train_step(model, teacher, args, key_index, tx,
-                            teacher_is_fusion, with_semi):
+                            teacher_is_fusion, with_semi,
+                            spatial=USE_INSTALL):
     """distill_train (depth_train.py:161-283): frozen-teacher forward,
     distillation on last feature maps with alpha weighting, optional
     semi-supervised extra batch folded into the same update.
@@ -354,7 +360,7 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
     """
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
     bn_train = not args.do_freeze
 
     def teacher_forward(teacher_vars, batch):
@@ -416,11 +422,12 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
     return step
 
 
-def make_depth_eval_step(model, args, key_index, fusion):
+def make_depth_eval_step(model, args, key_index, fusion,
+                         spatial=USE_INSTALL):
     """vanilla_test / fusion_test forward+decode (depth_train.py:477-607)."""
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)
-    spatial = _spatial_for(args)
+    spatial = _resolve_spatial(spatial)
 
     @jax.jit
     def step(state, batch):

@@ -12,10 +12,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(script, flags, cwd=REPO):
+def run_cli(script, flags, cwd=REPO, devices=1):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)
+    if devices > 1:
+        env['XLA_FLAGS'] = (
+            '--xla_force_host_platform_device_count=%d' % devices)
     # the axon TPU plugin registers from sitecustomize when this var is set
     # and force-selects the tunnel backend; strip it so the subprocess stays
     # on host CPU
@@ -68,6 +71,27 @@ def test_main_train_and_val_roundtrip(cmu_fixture, tmp_path):
                         '-val_only']
     out = run_cli('main.py', val_flags)
     assert _spec_line(out) == trained  # checkpoint roundtrip is exact
+
+
+def test_main_mesh_spatial(cmu_fixture, tmp_path):
+    """-mesh_spatial through the CLI acceptance surface: a (2, 2)
+    (data, space) mesh on 4 virtual devices trains and evals an epoch;
+    the checkpoint reloads with -val_only on the same spatial mesh to the
+    identical SPEC line (metric roundtrip, CLAUDE.md acceptance rule)."""
+    save = str(tmp_path / 'save')
+    sp = ['-n_cudas', '4', '-mesh_spatial', '2']
+    flags = BASE + sp + ['-data_name', 'cmu', '-num_joints', '19',
+                         '-metadata_path', cmu_fixture, '-save_path', save,
+                         '-shuffle', '-save_record', '-geometry', '-colour']
+    # BASE pins -n_cudas 1; the later duplicate flag wins in argparse
+    out = run_cli('main.py', flags, devices=4)
+    trained = _spec_line(out)
+
+    val_flags = BASE + sp + ['-data_name', 'cmu', '-num_joints', '19',
+                             '-metadata_path', cmu_fixture,
+                             '-save_path', save, '-val_only']
+    out = run_cli('main.py', val_flags, devices=4)
+    assert _spec_line(out) == trained
 
 
 def test_depth_main_vanilla(ntu_fixture, tmp_path):

@@ -291,9 +291,9 @@ def test_mesh_spatial_trainer_end_to_end(tmp_path_factory):
             trainer = RgbTrainer(args, model, info)
             if spatial > 1:
                 assert trainer.mesh.devices.shape == (4, 2)
-                assert args._spatial_sharding is not None
+                assert trainer._spatial is not None
             else:
-                assert args._spatial_sharding is None
+                assert trainer._spatial is None
             trainer.init_state(
                 (jnp.ones((1, args.side_in, args.side_in, 3)),))
             rec = trainer.cam_train(1, PoseLoader(args, 'train', info),
@@ -307,14 +307,17 @@ def test_mesh_spatial_trainer_end_to_end(tmp_path_factory):
 
 
 def test_spatial_binding_is_per_trainer(tmp_path_factory):
-    """Regression (review finding): step factories snapshot the spatial
-    constraint at FACTORY time from the trainer's own args — constructing a
-    second trainer with a different -mesh_spatial must not re-bind the
-    first trainer's lazily-built steps. Also: a conflicting explicit 1-D
-    mesh + mesh_spatial>1 must fail loudly, not silently run DP."""
+    """Regression (review finding): the spatial constraint is trainer
+    state, passed explicitly to the step factories — so two trainers
+    sharing ONE args namespace keep their own bindings, and lazily-built
+    steps (created after both trainers exist, the way the engine builds
+    them at the first batch) can't pick up the other's setting. Also: a
+    conflicting explicit 1-D mesh + mesh_spatial>1 must fail loudly, in
+    the trainer and in the loader."""
     import jax.numpy as jnp
 
     from datasets import build_info
+    from pose_tpu.data.loader import PoseLoader
     from pose_tpu.data.synthetic import make_cmu_fixture
     from pose_tpu.models import build_model
     from pose_tpu.parallel import make_mesh
@@ -325,37 +328,37 @@ def test_spatial_binding_is_per_trainer(tmp_path_factory):
     cmu = make_cmu_fixture(str(tmp_path_factory.mktemp('cmu_bind')),
                            num_train=2, num_valid=2)
     info = build_info('cmu')
-    args_sp = cluster_args(cmu)
-    args_sp.mesh_spatial = 2
-    args_dp = cluster_args(cmu)
-    args_dp.mesh_spatial = 1
-    model = build_model(args_sp, 'rgb')
-    RgbTrainer(args_sp, model, info)
-    RgbTrainer(args_dp, model, info)   # constructed AFTER the spatial one
+    args = cluster_args(cmu)           # ONE shared namespace
+    model = build_model(args, 'rgb')
+    tr_sp = RgbTrainer(args, model, info, mesh=make_mesh(8, spatial=2))
+    tr_dp = RgbTrainer(args, model, info)   # constructed AFTER the spatial one
+    assert tr_sp._spatial is not None and tr_dp._spatial is None
 
-    # factories called lazily, after BOTH trainers exist (the way the
-    # engine builds its steps at the first batch)
-    tx = steps.make_optimizer(args_sp)
-    step_sp = steps.make_cam_train_step(model, args_sp, 2, tx)
-    step_dp = steps.make_cam_train_step(model, args_dp, 2, tx)
-    state = steps.init_state(model, args_sp, tx,
+    # steps built lazily, after BOTH trainers exist
+    step_sp = tr_sp._get_cam_step()
+    step_dp = tr_dp._get_cam_step()
+    state = steps.init_state(model, args, tr_sp.tx,
                              (jnp.ones((1, 65, 65, 3)),))
     batch = dict(image=jnp.zeros((8, 65, 65, 3)),
                  true_cam=jnp.zeros((8, 19, 3)),
                  true_val=jnp.ones((8, 19), bool))
+
     # with_sharding_constraint lowers to sdy.sharding_constraint (Shardy)
     # or a @Sharding custom call (GSPMD), depending on the partitioner
     def n_constraints(step):
         txt = step.lower(state, batch, jnp.float32(1e-4)).as_text()
         return txt.count('sharding_constraint') + txt.count('@Sharding')
 
-    n_sp = n_constraints(step_sp)
-    n_dp = n_constraints(step_dp)
-    assert n_sp > 0, 'spatial trainer lost its constraint'
-    assert n_dp == 0, 'DP trainer picked up a foreign constraint'
+    assert n_constraints(step_sp) > 0, 'spatial trainer lost its constraint'
+    assert n_constraints(step_dp) == 0, \
+        'DP trainer picked up a foreign constraint'
 
+    args_sp = cluster_args(cmu)
+    args_sp.mesh_spatial = 2
     with pytest.raises(AssertionError, match='mesh_spatial'):
         RgbTrainer(args_sp, model, info, mesh=make_mesh(8))
+    with pytest.raises(AssertionError, match='mesh_spatial'):
+        PoseLoader(args_sp, 'train', info, mesh=make_mesh(8))
 
 
 def test_members_advance_epochs_and_streams_differ(combined):
