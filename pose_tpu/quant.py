@@ -1,0 +1,147 @@
+"""Post-training int8 quantization for the serving path.
+
+The v5e MXU runs int8 convolutions at ~2x the bf16 rate (measured on chip:
+3x3 256->256 @33^2 bs128 = 0.474 ms int8 vs 0.893 ms bf16 = 1.89x, ~88% of
+the 394-TOPS int8 peak — docs/ROUND3_NOTES.md). This module converts any
+PoseResNet inference forward to int8 convs with no model-code changes and no
+checkpoint surgery:
+
+- weights: symmetric per-output-channel int8, scales derived from the
+  checkpoint's own bf16/f32 kernels at trace time (constant-folded when the
+  graph is exported with baked weights);
+- activations: symmetric per-tensor int8 with scales CALIBRATED by running
+  representative crops through the bf16 forward and recording each conv
+  input's absmax;
+- accumulation: int32 on the MXU (`preferred_element_type`), dequantized
+  back to the compute dtype before the (bf16) BatchNorm/relu that follows.
+
+Both passes are Flax method interceptors over `nn.Conv.__call__`
+(`nn.intercept_methods`): calibration records per-conv-path input absmax as
+traced scalars returned from the jitted forward; the quantized pass replaces
+the conv body with quantize -> int8 `lax.conv_general_dilated` -> dequant.
+Partial-conv variants keep their mask-renormalizing convs untouched (those
+run through `ops.partial_conv`, not `nn.Conv`, and their renorm is
+precision-sensitive); everything else — stems, stages, fusion block, heads —
+quantizes uniformly, with an optional skip list (regressor heads stay bf16
+by default: their logits feed the volumetric softmax directly, so head noise
+moves decoded millimetres one-for-one, and the heads are <1% of the FLOPs).
+
+The reference has no inference deployment path at all (training repo only);
+this is a beyond-reference serving feature. Accuracy cost is measured in
+decoded millimetres in tests/test_quant.py and docs/PERF.md.
+"""
+
+import json
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# regressor heads (rgb dual heads + the depth/fusion family's single head)
+DEFAULT_SKIP = ('cam_regressor', 'mat_regressor', 'regressor')
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _conv_path(module):
+    return '/'.join(module.path)
+
+
+def calibrate(apply_fn, batches):
+    """Per-conv-path input absmax over calibration batches.
+
+    `apply_fn(*batch)` must run the model's inference forward (e.g. a
+    closure over `model.apply(variables, ...)`); `batches` is an iterable of
+    input tuples. Returns {conv_path: float_absmax}. The recording happens
+    inside the traced forward, so one jitted execution per batch suffices —
+    no eager per-op dispatch (which through a remote-device transport would
+    pay one round trip per op).
+    """
+    totals = {}
+    for batch in batches:
+        records = {}
+
+        def recorder(next_fun, args, kwargs, context):
+            if (isinstance(context.module, nn.Conv)
+                    and context.method_name == '__call__'):
+                records[_conv_path(context.module)] = jnp.max(
+                    jnp.abs(args[0].astype(jnp.float32)))
+            return next_fun(*args, **kwargs)
+
+        def fwd(*inputs):
+            with nn.intercept_methods(recorder):
+                out = apply_fn(*inputs)
+            return out, dict(records)
+
+        _, seen = jax.jit(fwd)(*batch)
+        for path, val in jax.device_get(seen).items():
+            totals[path] = max(totals.get(path, 0.0), float(val))
+    if not totals:
+        raise ValueError('calibration saw no nn.Conv calls — is the model '
+                         'a partial-conv-only variant?')
+    return totals
+
+
+def make_interceptor(absmax, skip=DEFAULT_SKIP):
+    """A Flax method interceptor replacing every calibrated `nn.Conv` with
+    quantize -> int8 MXU conv -> dequant. Convs whose path is missing from
+    `absmax`, or whose final path component is in `skip`, run unchanged."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if not isinstance(m, nn.Conv) or context.method_name != '__call__':
+            return next_fun(*args, **kwargs)
+        path = _conv_path(m)
+        if path not in absmax or path.rsplit('/', 1)[-1] in skip:
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        kernel = m.scope.get_variable('params', 'kernel')    # HWIO
+        bias = m.scope.get_variable('params', 'bias') if m.use_bias else None
+
+        # symmetric per-tensor activation scale (calibrated), per-out-channel
+        # weight scales (from the checkpoint kernel; constant-folded when the
+        # kernel is a baked export constant)
+        sx = jnp.float32(max(absmax[path], 1e-12) / 127.0)
+        kf = kernel.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            xq, wq, window_strides=_pair(m.strides or 1), padding=m.padding,
+            rhs_dilation=_pair(m.kernel_dilation or 1),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=m.feature_group_count,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * sw)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    return interceptor
+
+
+def quantized_call(apply_fn, absmax, skip=DEFAULT_SKIP):
+    """Wrap an inference forward so its convs run int8 (jit-compatible)."""
+
+    def fwd(*inputs):
+        with nn.intercept_methods(make_interceptor(absmax, skip)):
+            return apply_fn(*inputs)
+
+    return fwd
+
+
+def save_scales(path, absmax):
+    with open(path, 'w') as f:
+        json.dump({k: float(v) for k, v in absmax.items()}, f, indent=0,
+                  sort_keys=True)
+
+
+def load_scales(path):
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import quant
 from .data import augment
 from .models import build_model
 from .models.convert import load_torch_file, variables_from_torch
@@ -50,6 +51,8 @@ class Predictor:
                 jax.random.PRNGKey(0),
                 *self._sample_inputs(1), train=False)
         self.variables = variables
+        self._quant_scales = None            # set by quantize()
+        self._quant_skip = quant.DEFAULT_SKIP
         self._forward = jax.jit(self._forward_impl)
 
     def _sample_inputs(self, b):
@@ -72,15 +75,22 @@ class Predictor:
             jax.device_get(predictor.variables), state_dict, verbose=False)
         return predictor
 
+    def _model_apply(self, variables, inputs):
+        apply_fn = lambda *ins: self.model.apply(variables, *ins, train=False)
+        if self._quant_scales is not None:
+            apply_fn = quant.quantized_call(apply_fn, self._quant_scales,
+                                            self._quant_skip)
+        return apply_fn(*inputs)
+
     def _forward_impl(self, variables, *inputs):
         dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-        out = self.model.apply(
+        out = self._model_apply(
             {'params': cast(variables['params']),
              'batch_stats': variables['batch_stats']},
-            *[cast(x) for x in inputs], train=False)
+            [cast(x) for x in inputs])
         if self.variant == 'rgb' and self.args.joint_space:
             cam_feat, mat_feat = out
         elif self.variant == 'rgb':
@@ -117,6 +127,41 @@ class Predictor:
         absolute = recon.recon_root(out['spec_mat'], relat,
                                     jnp.asarray(intrinsics))
         return np.asarray(absolute)
+
+    def quantize(self, calib_batches, skip=quant.DEFAULT_SKIP):
+        """Switch the serving forward to int8 convs (pose_tpu.quant): ~2x
+        MXU rate on TPU for the conv trunk, with activation scales
+        calibrated from `calib_batches` — an iterable of input tuples of
+        the same form `predict_crops` takes (single-input variants may pass
+        bare arrays). Regressor heads stay bf16 by default (`skip`).
+
+        Returns the calibrated {conv_path: absmax} so deployments can
+        persist it (quant.save_scales / load_scales) and re-apply with
+        `quantize_with_scales` instead of re-calibrating."""
+        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
+        cast = lambda x: (x.astype(dtype)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
+        batches = [tuple(cast(jnp.asarray(x)) for x in
+                         (b if isinstance(b, (tuple, list)) else (b,)))
+                   for b in calib_batches]
+        variables = {'params': jax.tree_util.tree_map(
+            lambda x: cast(jnp.asarray(x)), self.variables['params']),
+            'batch_stats': self.variables['batch_stats']}
+        scales = quant.calibrate(
+            lambda *ins: self.model.apply(variables, *ins, train=False),
+            batches)
+        self.quantize_with_scales(scales, skip)
+        return scales
+
+    def quantize_with_scales(self, scales, skip=quant.DEFAULT_SKIP):
+        """Apply previously calibrated activation scales (see quantize)."""
+        self._quant_scales = dict(scales)
+        self._quant_skip = tuple(skip)
+        # fresh jit wrapper: the old one cached the bf16 trace
+        self._forward = jax.jit(self._forward_impl)
+        if hasattr(self, '_compiled'):
+            del self._compiled               # stale AOT executable
+        return self
 
     def aot_compile(self):
         """Ahead-of-time compile the forward for the configured batch size

@@ -119,6 +119,13 @@ def build_parser():
                         choices=['cmu', 'h36m', 'ntu'],
                         help='joint_settings tables for the root joint and '
                              'viz edges')
+    parser.add_argument('-quantize', action='store_true',
+                        help='serve with int8 convolutions (~2x MXU rate on '
+                             'TPU), activation scales calibrated on the '
+                             'first batch (pose_tpu.quant); regressor heads '
+                             'stay bf16. Checkpoint models only — a '
+                             '.jaxexport artifact bakes its precision at '
+                             'export time')
     # outputs
     parser.add_argument('-out', default='predictions.json')
     parser.add_argument('-viz', help='directory for overlay PNGs')
@@ -395,6 +402,8 @@ def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
     else:
         inputs = (_warp_color(cbatch, args.side_in),)
 
+    if getattr(args, 'quantize', False) and predictor._quant_scales is None:
+        predictor.quantize([inputs])    # calibrate on the first real batch
     out = predictor.predict_crops(*inputs)
     relat = out['relat_cam']
     relat = relat - relat[:, key_index:key_index + 1]
@@ -530,6 +539,10 @@ def main(argv=None):
         total = len(dentries)
 
     if args.model_path.endswith('.jaxexport'):
+        if args.quantize:
+            raise SystemExit('-quantize needs a checkpoint model; a '
+                             '.jaxexport artifact bakes its precision at '
+                             'export time (quantize before export_artifact)')
         predictor = serve.ArtifactPredictor(args.model_path)
         shape = predictor.in_shapes[0]
         if shape[1] != args.side_in:

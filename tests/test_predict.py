@@ -351,3 +351,26 @@ def test_zero_distortion_is_pinhole(tmp_path):
                        dist=[0, 0, 0, 0, 0]), f)
     cam = predict.load_camera(str(tmp_path / 'cam.json'), (16, 16))
     assert cam.distortion_coeffs is None
+
+
+def test_quantize_flag(fixture_dir):
+    """-quantize serves int8 convs calibrated on the first batch; outputs
+    stay within the quantization tolerance of the bf16 run, and the flag
+    is rejected for .jaxexport artifacts (precision bakes at export)."""
+    base = cli(fixture_dir, 'out_fp.json', [])
+    blob = cli(fixture_dir, 'out_q.json', ['-quantize'])
+    assert len(blob['frames']) == len(base['frames']) == 3
+    for ref, got in zip(base['frames'], blob['frames']):
+        delta = np.max(np.abs(np.asarray(got['relat_cam'])
+                              - np.asarray(ref['relat_cam'])))
+        # random-init decode is the quantization worst case (near-uniform
+        # logits); measured 10.1 mm here — the accuracy evidence proper is
+        # tests/test_quant.py + the on-chip flagship deltas (PERF.md)
+        assert delta < 20.0, delta
+        assert not np.array_equal(got['relat_cam'], ref['relat_cam'])
+    with pytest.raises(SystemExit):
+        predict.main(['-model_path', str(fixture_dir / 'pose.jaxexport'),
+                      '-side_in', '65', '-stride', '32', '-depth', '4',
+                      '-num_joints', '19', '-joint_space', '-quantize',
+                      '-images', str(fixture_dir / 'frame_*.jpg'),
+                      '-out', str(fixture_dir / 'out_qa.json')])
