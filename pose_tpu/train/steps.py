@@ -337,7 +337,15 @@ def distill_loss(args, teach_last, last_feat, atten_map):
     else:
         diff = teach_last - last_feat
     diff = diff * atten_map
-    return jnp.mean(jnp.linalg.norm(diff.reshape(batch, -1), axis=-1))
+    # torch.norm's backward defines a ZERO subgradient at diff == 0
+    # (relevant when the student is warm-started from the teacher
+    # checkpoint, a supported create_pair pattern: features match exactly
+    # on step 1); jnp.linalg.norm's sqrt would emit NaN there and poison
+    # the whole update. Double-where keeps the value bit-identical and the
+    # gradient torch-equal on both branches.
+    sq = jnp.sum(jnp.square(diff.reshape(batch, -1)), axis=-1)
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.mean(jnp.where(sq > 0, norm, 0.0))
 
 
 def make_distill_train_step(model, teacher, args, key_index, tx,

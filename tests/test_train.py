@@ -124,6 +124,34 @@ class TestDistillLoss:
         golden = self._torch_distill(args, teach, feat, atten)
         assert ours == pytest.approx(golden, rel=1e-4)
 
+    def test_zero_diff_subgradient_matches_torch(self):
+        """student features == teacher features — the step-1 state whenever
+        the student is warm-started FROM the teacher checkpoint (a supported
+        create_pair pattern, depth_main.py). torch.norm's backward defines a
+        ZERO subgradient at 0; a plain jnp.linalg.norm would emit NaN there
+        and poison the whole parameter update (found by a warm-started
+        convergence-twin run: the JAX side NaN'd on step 1)."""
+        args = make_args(sigmoid=False, bin_dist=False)
+        rng = np.random.RandomState(1)
+        feat = rng.randn(2, 5, 5, 16).astype(np.float32)
+        atten = rng.rand(2, 5, 5, 1).astype(np.float32)
+
+        val, grad = jax.value_and_grad(
+            lambda f: steps.distill_loss(args, jnp.asarray(feat), f,
+                                         jnp.asarray(atten)))(
+            jnp.asarray(feat))
+        assert float(val) == 0.0
+        assert np.all(np.asarray(grad) == 0.0), np.max(np.abs(grad))
+
+        s = torch.from_numpy(feat.transpose(0, 3, 1, 2)).requires_grad_()
+        t = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+        a = torch.from_numpy(atten.transpose(0, 3, 1, 2))
+        loss = torch.linalg.norm(
+            ((t - s) * a).reshape(2, -1), dim=-1).mean()
+        loss.backward()
+        assert float(loss) == 0.0
+        assert torch.all(s.grad == 0.0)        # torch's subgradient is 0 too
+
 
 class TestOptimizerParity:
     def test_adam_matches_torch_with_weight_decay(self):
@@ -457,3 +485,43 @@ class TestDistillConvergence:
             cam_hist[::16]
         assert np.mean(dist_hist[-10:]) < 0.7 * np.mean(dist_hist[:10]), \
             dist_hist[::16]
+
+    def test_warm_start_from_teacher_stays_finite(self):
+        """Distill steps with the student warm-started AT the teacher (exact
+        same params/stats) must stay finite: the dist term starts at exactly
+        0 where the norm's subgradient matters (see
+        TestDistillLoss.test_zero_diff_subgradient_matches_torch)."""
+        from pose_tpu.serve import default_args
+        from pose_tpu.models import build_model
+
+        args = default_args(model='resnet18', side_in=65, stride=32,
+                            depth=4, num_joints=5, half_acc=False,
+                            joint_space=False, criterion='SmoothL1',
+                            grad_norm=5.0, weight_decay=4e-5, loss_div=10.0,
+                            sigmoid=False, bin_dist=False, do_freeze=False,
+                            depth_only=False)
+        model = build_model(args, 'depth')
+        teacher = build_model(args, 'depth')
+        tx = steps.make_optimizer(args)
+        state = steps.init_state(model, args, tx,
+                                 (jnp.ones((1, 65, 65, 3)),))
+        t_vars = dict(params=jax.device_get(state.params),
+                      batch_stats=jax.device_get(state.batch_stats))
+        step = steps.make_distill_train_step(
+            model, teacher, args, 2, tx, teacher_is_fusion=False,
+            with_semi=False)
+        rng = np.random.RandomState(0)
+        batch = dict(
+            color=jnp.asarray(rng.randn(2, 65, 65, 3).astype(np.float32)),
+            true_cam=jnp.asarray(
+                rng.uniform(-300, 300, (2, 5, 3)).astype(np.float32) + 2500),
+            true_val=jnp.ones((2, 5), bool),
+            atten_map=jnp.ones((2, 3, 3, 1), jnp.float32))
+        for i in range(3):
+            state, t_vars, out = step(state, t_vars, batch,
+                                      jnp.float32(2e-5), jnp.float32(0.5))
+            assert np.isfinite(float(out['cam_loss'])), i
+            assert np.isfinite(float(out['dist_loss'])), i
+        finite = jax.tree_util.tree_map(
+            lambda a: bool(jnp.all(jnp.isfinite(a))), state.params)
+        assert all(jax.tree_util.tree_leaves(finite))
