@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.batchnorm import ReferenceBatchNorm
 from ..ops.fused_bn import FusedBatchNorm
 from ..ops.partial_conv import partial_conv
 
@@ -98,7 +99,7 @@ def conv_bn(x, features, kernel, stride, dilation, conv_name, bn_name, train,
         return FusedBatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, relu=relu, name=bn_name)(
             x, residual)
-    x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    x = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, name=bn_name)(x)
     return x
 
@@ -138,13 +139,13 @@ class BasicBlock(nn.Module):
                             (3, 3, x.shape[-1], self.planes))
             out, veil = partial_conv(x, veil, k1, self.stride,
                                      self.dilation, self.dilation)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn1')(out)
             out = nn.relu(out)
             k2 = self.param('conv2_kernel', trunk_init,
                             (3, 3, self.planes, self.planes))
             out, veil = partial_conv(out, veil, k2, 1, 1)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn2')(out)
         else:
             out = conv_bn(x, self.planes, 3, self.stride, self.dilation,
@@ -196,20 +197,20 @@ class Bottleneck(nn.Module):
             k1 = self.param('conv1_kernel', trunk_init,
                             (1, 1, x.shape[-1], self.planes))
             out, veil = partial_conv(x, veil, k1, 1, 0)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn1')(out)
             out = nn.relu(out)
             k2 = self.param('conv2_kernel', trunk_init,
                             (3, 3, self.planes, self.planes))
             out, veil = partial_conv(out, veil, k2, self.stride,
                                      self.dilation, self.dilation)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn2')(out)
             out = nn.relu(out)
             k3 = self.param('conv3_kernel', trunk_init,
                             (1, 1, self.planes, self.planes * 4))
             out, veil = partial_conv(out, veil, k3, 1, 0)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, name='bn3')(out)
         else:
             out = conv_bn(x, self.planes, 1, 1, 1, 'conv1', 'bn1', train)
@@ -307,7 +308,7 @@ class PoseResNet(nn.Module):
                                    momentum=0.9, epsilon=1e-5, relu=True,
                                    name=bn_name)(h)
                 return max_pool_3x3s2(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=bn_name)(h)
             return max_pool_3x3s2(nn.relu(h))
 
@@ -319,7 +320,7 @@ class PoseResNet(nn.Module):
             k = self.param('conv1_kernel', trunk_init,
                            (7, 7, self.in_channels, 64))
             h, veil = partial_conv(x, veil, k, 2, 3)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name='bn1')(h)
             h = max_pool_3x3s2(nn.relu(h))
             veil = max_pool_3x3s2(veil)
@@ -329,7 +330,7 @@ class PoseResNet(nn.Module):
                 veil = (y != 0).astype(y.dtype)
                 k = self.param('conv2_kernel', trunk_init, (7, 7, 1, 64))
                 g, veil = partial_conv(y, veil, k, 2, 3)
-                g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                g = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name='bn2')(g)
                 g = max_pool_3x3s2(nn.relu(g))
                 veil = max_pool_3x3s2(veil)
@@ -381,7 +382,7 @@ class PoseResNet(nn.Module):
                                    momentum=0.9, epsilon=1e-5, relu=True,
                                    name='fusion_bn')(f)
             else:
-                f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                f = ReferenceBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name='fusion_bn')(f)
                 h = nn.relu(f)
 

@@ -328,8 +328,12 @@ class FusedBatchNorm(nn.Module):
 
         y, mean, var = fused_batch_norm(x, scale, bias, residual,
                                         self.epsilon, self.relu)
+        # torch BatchNorm2d folds the UNBIASED variance into running_var
+        # (ops/batchnorm.py rationale); normalization above stays biased
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / (n - 1)) if n > 1 else var
         ra_mean.value = self.momentum * ra_mean.value \
             + (1.0 - self.momentum) * mean
         ra_var.value = self.momentum * ra_var.value \
-            + (1.0 - self.momentum) * var
+            + (1.0 - self.momentum) * unbiased
         return y

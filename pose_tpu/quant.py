@@ -112,8 +112,11 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP):
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
         wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+        pad = m.padding                 # 'SAME'/'VALID' pass through; an
+        if isinstance(pad, int):        # int attribute means pad both dims
+            pad = ((pad, pad), (pad, pad))
         y = lax.conv_general_dilated(
-            xq, wq, window_strides=_pair(m.strides or 1), padding=m.padding,
+            xq, wq, window_strides=_pair(m.strides or 1), padding=pad,
             rhs_dilation=_pair(m.kernel_dilation or 1),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=m.feature_group_count,

@@ -360,11 +360,9 @@ def make_distill_train_step(model, teacher, args, key_index, tx,
     statistics — torch modules stay in train mode under no_grad — and its
     running stats drift (momentum 0.9) exactly as the reference's teacher
     does. The step therefore returns updated teacher_vars which the engine
-    threads back in. Remaining known nuance: torch folds the n/(n-1)
-    unbiased-variance correction into running_var updates while flax
-    accumulates the biased batch variance — negligible at spatial-batch n
-    (~1e-5 relative) and irrelevant to the gradients (train-mode BN never
-    reads running stats).
+    threads back in. The n/(n-1) unbiased-variance correction torch folds
+    into running_var updates is replicated by ops/batchnorm.py
+    (ReferenceBatchNorm), so eval-mode statistics match the reference too.
     """
     criterion = losses.get_criterion(args.criterion)
     dtype = _compute_dtype(args)

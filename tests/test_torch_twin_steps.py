@@ -896,6 +896,195 @@ class TestLockstepDistill:
         assert final_rel < 5e-2, final_rel
 
 
+class TestTwinConvergenceDistillMPJPE:
+    """End-metric twin for the privileged-information core, run at FLOAT64:
+    train the SAME student under the reference's distillation objective
+    (frozen train-mode-BN teacher, attention-weighted L2 feature loss *
+    alpha + cam loss, depth_train.py:161-283) to convergence in both
+    frameworks, then compare the trained students' eval-mode MPJPE.
+
+    Why f64: at f32 this synthetic distill overfit has MULTIPLE minima
+    ~3 mm apart — measured across three designs (constant-lr, annealed,
+    teacher-warm-started), the two frameworks' trajectories separate
+    chaotically on the oscillating plateau and anneal into different
+    attractors (end gaps 2.7-3.5 mm) even though the 25-step f32 lockstep
+    drift is 2.3e-5 (TestLockstepDistill) — i.e. the objective and dynamics
+    are equal; the f32 trajectories just can't be compared pointwise after
+    hundreds of chaotic steps. At f64 the trajectories stay LOCKED to the
+    end (first-step gap ~1e-15, cf. TestLockstepF64), so both frameworks
+    descend into the same minimum together and the converged end metric is
+    directly comparable — the 1 mm north-star statement for the
+    distillation family. The f32-vs-f64 backend gap is pinned separately
+    (TestPartialDepthF64, TestLockstepF64)."""
+
+    # descent completes by ~step 100 (measured curve); the 2e-6 tail
+    # settles the local point. Because the f64 trajectories are locked,
+    # the GAP assertion holds at any step — only the descent assertions
+    # need depth — so the suite default keeps the double-precision run
+    # ~30 min on the 1-vCPU box (NB=4); a 300-step run is recorded in
+    # docs/PARITY.md. POSE_TPU_TWIN_STEPS adjusts.
+    N_STEPS = int(os.environ.get('POSE_TPU_TWIN_STEPS', 150))
+    LR = 2e-5   # cmu_train.sh:21
+    ALPHA = 0.5
+    NB = 4
+
+    def _lr(self, i):
+        return self.LR if i <= (2 * self.N_STEPS) // 3 else self.LR * 0.1
+
+    @staticmethod
+    def _mpjpe(spec, true_cam):
+        return float(np.mean(np.linalg.norm(
+            np.asarray(spec, np.float64) - np.asarray(true_cam, np.float64),
+            axis=-1)))
+
+    def test_distilled_mpjpe_within_1mm(self):
+        jax.config.update('jax_enable_x64', True)
+        try:
+            self._run()
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def _run(self):
+        from pose_tpu.train import losses as L
+
+        rng = np.random.RandomState(31)
+        batch = dict(
+            image=rng.rand(self.NB, SIDE, SIDE, 3),
+            true_cam=rng.uniform(-300, 300, (self.NB, J, 3)) + [0, 0, 2200],
+            true_val=np.ones((self.NB, J), bool))
+        atten = rng.rand(self.NB, 5, 5, 1)
+        args = make_args(batch_size=self.NB)
+        crit = L.get_criterion(args.criterion)
+
+        model = build_small('depth', 3)
+        teacher = build_small('depth', 3)
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64), jax.device_get(t))
+        s_vars = to64(model.init(jax.random.PRNGKey(0),
+                                 jnp.ones((1, SIDE, SIDE, 3)), train=False))
+        t_vars = to64(teacher.init(jax.random.PRNGKey(7),
+                                   jnp.ones((1, SIDE, SIDE, 3)), train=False))
+        s_twin = load_twin(TorchTrunk(layers=(1, 1, 1, 1), stride=STRIDE,
+                                      num_joints=J, depth=D,
+                                      variant='depth'), s_vars).double()
+        t_twin = load_twin(TorchTrunk(layers=(1, 1, 1, 1), stride=STRIDE,
+                                      num_joints=J, depth=D,
+                                      variant='depth'), t_vars).double()
+
+        timg = jnp.asarray(batch['image'])
+        tcam = jnp.asarray(batch['true_cam'])
+        tval = jnp.asarray(batch['true_val'])
+        atten_j = jnp.asarray(atten)
+
+        def jax_mpjpe(params, stats):
+            cam_feat, _ = model.apply(
+                {'params': params, 'batch_stats': stats}, timg, train=False)
+            _, spec = steps.decode_spec_cam(
+                cam_feat, D, J, args.depth_range, 2, tcam)
+            return self._mpjpe(jax.device_get(spec), batch['true_cam'])
+
+        def torch_mpjpe():
+            s_twin.eval()
+            with torch.no_grad():
+                cam_feat, _ = s_twin(
+                    torch.from_numpy(nchw(batch['image'])))
+                _, spec = t_spec_cam(
+                    cam_feat, torch.from_numpy(batch['true_cam']),
+                    args.depth_range, 2)
+            s_twin.train()
+            return self._mpjpe(spec.numpy(), batch['true_cam'])
+
+        init_mpjpe = jax_mpjpe(s_vars['params'], s_vars['batch_stats'])
+
+        # full-f64 replica of make_distill_train_step's math (the step
+        # factory computes in _compute_dtype(args) = f32, so the f64 run
+        # applies the model directly, as TestPartialDepthF64 does)
+        tx = steps.make_optimizer(args)
+        state = steps.TrainState(params=s_vars['params'],
+                                 batch_stats=s_vars['batch_stats'],
+                                 opt_state=tx.init(s_vars['params']),
+                                 step=jnp.zeros((), jnp.int32))
+        teacher_vars = dict(params=t_vars['params'],
+                            batch_stats=t_vars['batch_stats'])
+
+        @jax.jit
+        def jstep(state, teacher_vars, lr):
+            (_, teach_last), t_upd = teacher.apply(
+                {'params': teacher_vars['params'],
+                 'batch_stats': teacher_vars['batch_stats']},
+                timg, train=True, mutable=['batch_stats'])
+            teach_last = jax.lax.stop_gradient(teach_last)
+            teacher_vars = dict(
+                params=teacher_vars['params'],
+                batch_stats=jax.lax.stop_gradient(t_upd['batch_stats']))
+
+            def loss_fn(params):
+                (cam_feat, last_feat), upd = model.apply(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    timg, train=True, mutable=['batch_stats'])
+                d_loss = steps.distill_loss(args, teach_last, last_feat,
+                                            atten_j)
+                _, spec = steps.decode_spec_cam(
+                    cam_feat, D, J, args.depth_range, 2, tcam)
+                c_loss = L.masked_mean_loss(
+                    crit, spec / args.loss_div, tcam / args.loss_div, tval)
+                return d_loss * self.ALPHA + c_loss, upd['batch_stats']
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = steps._update(tx, state, grads, lr).replace(
+                batch_stats=new_stats)
+            return state, teacher_vars, loss
+
+        jax_losses = []
+        for i in range(1, self.N_STEPS + 1):
+            state, teacher_vars, loss = jstep(state, teacher_vars,
+                                              jnp.float64(self._lr(i)))
+            jax_losses.append(float(loss))
+
+        s_twin.train()
+        t_twin.train()                            # train-mode teacher BN
+        image = torch.from_numpy(nchw(batch['image']))
+        t_atten = torch.from_numpy(atten.transpose(0, 3, 1, 2))
+        true_cam = torch.from_numpy(batch['true_cam'])
+        valid = torch.from_numpy(batch['true_val'])
+        opt, torch_losses = None, []
+        for i in range(1, self.N_STEPS + 1):
+            with torch.no_grad():
+                _, teach_last = t_twin(image)     # drifts teacher stats
+            cam_feat, last = s_twin(image)
+            diff = (teach_last - last) * t_atten
+            d_loss = torch.norm(diff.reshape(self.NB, -1), dim=-1).mean()
+            _, spec = t_spec_cam(cam_feat, true_cam, args.depth_range, 2)
+            c_loss = t_masked_loss(spec / args.loss_div,
+                                   true_cam / args.loss_div, valid)
+            lr = self._lr(i)
+            if opt is not None:                   # anneal the live optimizer
+                for g in opt.param_groups:
+                    g['lr'] = lr
+            total = d_loss * self.ALPHA + c_loss
+            torch_losses.append(float(total.detach()))
+            _, opt = torch_adam_step(s_twin, total, args, lr, opt=opt)
+
+        mpjpe_jax = jax_mpjpe(jax.device_get(state.params),
+                              jax.device_get(state.batch_stats))
+        mpjpe_torch = torch_mpjpe()
+        gap = abs(mpjpe_jax - mpjpe_torch)
+        traj_gap = max(abs(a - b) for a, b in zip(jax_losses, torch_losses))
+        print(f'\nf64 distilled MPJPE after {self.N_STEPS} steps: '
+              f'init={init_mpjpe:.2f} jax={mpjpe_jax:.4f} '
+              f'torch={mpjpe_torch:.4f} gap={gap * 1000:.2f} um; '
+              f'max |loss gap| over the whole trajectory '
+              f'{traj_gap / torch_losses[0]:.2e} of initial')
+        # both distillation runs actually trained the metric down ...
+        assert mpjpe_jax < 0.5 * init_mpjpe, (mpjpe_jax, init_mpjpe)
+        assert mpjpe_torch < 0.5 * init_mpjpe, (mpjpe_torch, init_mpjpe)
+        # ... the trajectories stayed locked to the end ...
+        assert traj_gap / torch_losses[0] < 1e-3, traj_gap
+        # ... and the end metric satisfies the north star with margin
+        assert gap < 1.0, (mpjpe_jax, mpjpe_torch)
+
+
 class TestPartialDepthF64:
     """Pin the partial-conv twin's f32 deviation (6.9e-2 worst grad, see
     docs/PARITY.md) as BACKEND drift, not a formula difference: the same
