@@ -505,3 +505,103 @@ def test_partial_renorm_production_shape_tiling():
     np.testing.assert_allclose(np.asarray(jax.grad(f)(raw)),
                                np.asarray(jax.grad(fx)(raw)),
                                rtol=1e-6, atol=1e-6)
+
+
+class TestBatchNormTorchTwin:
+    """ops/batchnorm.ReferenceBatchNorm and the FusedBatchNorm module's
+    running-stat update directly against torch.nn.BatchNorm2d (reference
+    resnet.py:141-148 uses BatchNorm2d): multi-step train-mode running
+    mean/var bookkeeping — torch folds the UNBIASED batch variance into
+    running_var (momentum 0.1 torch convention == momentum 0.9 here) —
+    then the eval-mode outputs those stats produce. The twin-step tests
+    cover this end-to-end through the trunk; this pins the op in
+    isolation."""
+
+    C = 8
+    STEPS = 4
+
+    def _torch_bn(self, scale, bias):
+        import torch
+        import torch.nn as tnn
+        bn = tnn.BatchNorm2d(self.C, eps=1e-5, momentum=0.1)
+        with torch.no_grad():
+            bn.weight.copy_(torch.from_numpy(scale))
+            bn.bias.copy_(torch.from_numpy(bias))
+        return bn
+
+    def _drive(self, module_ctor, call):
+        import torch
+        rng = np.random.RandomState(7)
+        scale = (rng.rand(self.C) + 0.5).astype(np.float32)
+        bias = rng.randn(self.C).astype(np.float32)
+        xs = [rng.randn(4, 5, 6, self.C).astype(np.float32) * 3 + 1
+              for _ in range(self.STEPS)]
+
+        bn_t = self._torch_bn(scale, bias)
+        bn_t.train()
+        ys_t = []
+        for x in xs:
+            xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            ys_t.append(np.transpose(bn_t(xt).detach().numpy(),
+                                     (0, 2, 3, 1)))
+
+        mod = module_ctor(use_running_average=False)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]))
+        params = {'scale': jnp.asarray(scale), 'bias': jnp.asarray(bias)}
+        stats = variables['batch_stats']
+        ys_j = []
+        for x in xs:
+            y, mut = call(mod, params, stats, jnp.asarray(x))
+            stats = mut['batch_stats']
+            ys_j.append(np.asarray(y))
+
+        for yt, yj in zip(ys_t, ys_j):
+            np.testing.assert_allclose(yj, yt, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats['mean']),
+                                   bn_t.running_mean.numpy(),
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats['var']),
+                                   bn_t.running_var.numpy(),
+                                   atol=1e-6, rtol=1e-5)
+
+        # eval-mode outputs from the accumulated statistics
+        bn_t.eval()
+        xe = xs[0]
+        xt = torch.from_numpy(np.transpose(xe, (0, 3, 1, 2)))
+        ye_t = np.transpose(bn_t(xt).detach().numpy(), (0, 2, 3, 1))
+        mod_e = module_ctor(use_running_average=True)
+        ye_j = mod_e.apply({'params': params, 'batch_stats': stats},
+                           jnp.asarray(xe))
+        np.testing.assert_allclose(np.asarray(ye_j), ye_t,
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_reference_batchnorm(self):
+        from pose_tpu.ops.batchnorm import ReferenceBatchNorm
+
+        def call(mod, params, stats, x):
+            return mod.apply({'params': params, 'batch_stats': stats}, x,
+                             mutable=['batch_stats'])
+
+        self._drive(ReferenceBatchNorm, call)
+
+    def test_fused_batchnorm_module(self):
+        from pose_tpu.ops.fused_bn import FusedBatchNorm
+
+        def call(mod, params, stats, x):
+            return mod.apply({'params': params, 'batch_stats': stats}, x,
+                             mutable=['batch_stats'])
+
+        self._drive(FusedBatchNorm, call)
+
+    def test_single_element_channel_stays_finite(self):
+        """n = 1 element per channel: torch raises in training; ours skips
+        the (undefined) unbiased correction and must stay finite."""
+        from pose_tpu.ops.batchnorm import ReferenceBatchNorm
+
+        mod = ReferenceBatchNorm(use_running_average=False)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 1, 1, 4).astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        y, mut = mod.apply(variables, x, mutable=['batch_stats'])
+        assert np.isfinite(np.asarray(y)).all()
+        assert np.isfinite(np.asarray(mut['batch_stats']['var'])).all()
