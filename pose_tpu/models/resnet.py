@@ -105,7 +105,9 @@ def conv_bn(x, features, kernel, stride, dilation, conv_name, bn_name, train,
 
 
 def bn_impl_default():
-    """'xla' (nn.BatchNorm) or 'pallas' (ops/fused_bn.py), from POSE_TPU_BN."""
+    """'xla' (ops/batchnorm.ReferenceBatchNorm — torch-exact unbiased
+    running-var bookkeeping) or 'pallas' (ops/fused_bn.py), from
+    POSE_TPU_BN."""
     return os.environ.get('POSE_TPU_BN', 'xla')
 
 
@@ -295,8 +297,9 @@ class PoseResNet(nn.Module):
         fusion = self.variant in ('fusion', 'partial_fusion')
         partial_stem = self.variant == 'partial_depth'
         partial_depth_branch = self.variant == 'partial_fusion'
-        # partial-conv branches keep nn.BatchNorm (their BNs interleave with
-        # mask renormalization); everything else can run the fused kernels
+        # partial-conv branches keep ReferenceBatchNorm (their BNs interleave
+        # with mask renormalization); everything else can run the fused
+        # kernels
         fused = (self.bn_impl or bn_impl_default()) == 'pallas'
 
         def stem(inp, conv_name, bn_name):

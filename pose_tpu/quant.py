@@ -33,8 +33,7 @@ decoded millimetres in tests/test_quant.py and docs/PERF.md.
 
 import json
 
-import numpy as np
-
+import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -87,10 +86,49 @@ def calibrate(apply_fn, batches):
     return totals
 
 
-def make_interceptor(absmax, skip=DEFAULT_SKIP):
+def quantize_kernel(kernel):
+    """Symmetric per-out-channel int8 for one HWIO kernel: returns
+    `(int8_kernel, float32_scales)` with `scales` shaped (out_channels,)."""
+    kf = jnp.asarray(kernel).astype(jnp.float32)
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def prequantize_params(params, absmax, skip=DEFAULT_SKIP,
+                       dtype=jnp.bfloat16):
+    """One-time weight quantization: replace every calibrated, non-skipped
+    conv kernel in the params pytree with its int8 tensor (quantized from
+    the `dtype`-cast kernel, matching what the interceptor would see inside
+    a `dtype` forward) and return `(new_params, {path: per-channel scale})`.
+
+    Doing this once at quantize time instead of inside the traced forward
+    matters when the params are jit ARGUMENTS (the live `Predictor` path):
+    argument-derived quantization cannot be constant-folded, so every
+    inference call would re-run abs-max/round/clip over all ~25M kernel
+    weights. Export with baked weights folds either way."""
+    flat = flax.traverse_util.flatten_dict(params)
+    out, wscales = {}, {}
+    for key, val in flat.items():
+        path = '/'.join(key[:-1])
+        if (key[-1] == 'kernel' and path in absmax
+                and key[-2] not in skip
+                and jnp.issubdtype(jnp.asarray(val).dtype, jnp.floating)):
+            wq, sw = quantize_kernel(jnp.asarray(val).astype(dtype))
+            out[key] = wq
+            wscales[path] = sw
+        else:
+            out[key] = val
+    return flax.traverse_util.unflatten_dict(out), wscales
+
+
+def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None):
     """A Flax method interceptor replacing every calibrated `nn.Conv` with
     quantize -> int8 MXU conv -> dequant. Convs whose path is missing from
-    `absmax`, or whose final path component is in `skip`, run unchanged."""
+    `absmax`, or whose final path component is in `skip`, run unchanged.
+    A kernel that is ALREADY int8 (see `prequantize_params`) is used as-is
+    with its scale looked up in `wscales`."""
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -105,13 +143,18 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP):
 
         # symmetric per-tensor activation scale (calibrated), per-out-channel
         # weight scales (from the checkpoint kernel; constant-folded when the
-        # kernel is a baked export constant)
+        # kernel is a baked export constant, precomputed by
+        # prequantize_params when it is a runtime argument)
         sx = jnp.float32(max(absmax[path], 1e-12) / 127.0)
-        kf = kernel.astype(jnp.float32)
-        sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        if kernel.dtype == jnp.int8:
+            if wscales is None or path not in wscales:
+                raise ValueError(f'int8 kernel at {path!r} but no '
+                                 'prequantized weight scale was provided')
+            wq, sw = kernel, wscales[path]
+        else:
+            wq, sw = quantize_kernel(kernel)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
-        wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
         pad = m.padding                 # 'SAME'/'VALID' pass through; an
         if isinstance(pad, int):        # int attribute means pad both dims
             pad = ((pad, pad), (pad, pad))
@@ -129,11 +172,11 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP):
     return interceptor
 
 
-def quantized_call(apply_fn, absmax, skip=DEFAULT_SKIP):
+def quantized_call(apply_fn, absmax, skip=DEFAULT_SKIP, wscales=None):
     """Wrap an inference forward so its convs run int8 (jit-compatible)."""
 
     def fwd(*inputs):
-        with nn.intercept_methods(make_interceptor(absmax, skip)):
+        with nn.intercept_methods(make_interceptor(absmax, skip, wscales)):
             return apply_fn(*inputs)
 
     return fwd

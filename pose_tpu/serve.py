@@ -50,9 +50,11 @@ class Predictor:
             variables = self.model.init(
                 jax.random.PRNGKey(0),
                 *self._sample_inputs(1), train=False)
-        self.variables = variables
+        self.variables = variables           # float originals, always
         self._quant_scales = None            # set by quantize()
         self._quant_skip = quant.DEFAULT_SKIP
+        self._quant_wscales = None           # per-channel weight scales
+        self._quant_variables = None         # int8-kernel serving copy
         self._forward = jax.jit(self._forward_impl)
 
     def _sample_inputs(self, b):
@@ -75,11 +77,19 @@ class Predictor:
             jax.device_get(predictor.variables), state_dict, verbose=False)
         return predictor
 
+    @property
+    def serve_variables(self):
+        """What the jitted forward runs with: the prequantized int8-kernel
+        copy after quantize(), the float originals otherwise."""
+        return (self._quant_variables if self._quant_variables is not None
+                else self.variables)
+
     def _model_apply(self, variables, inputs):
         apply_fn = lambda *ins: self.model.apply(variables, *ins, train=False)
         if self._quant_scales is not None:
             apply_fn = quant.quantized_call(apply_fn, self._quant_scales,
-                                            self._quant_skip)
+                                            self._quant_skip,
+                                            self._quant_wscales)
         return apply_fn(*inputs)
 
     def _forward_impl(self, variables, *inputs):
@@ -113,14 +123,14 @@ class Predictor:
     def predict_crops(self, *inputs):
         """Root-relative 3D (and 2D when joint_space) for prepared crops."""
         inputs = tuple(jnp.asarray(x) for x in inputs)
-        out = self._forward(self.variables, *inputs)
+        out = self._forward(self.serve_variables, *inputs)
         return jax.tree_util.tree_map(np.asarray, out)
 
     def predict_absolute(self, crops, intrinsics, key_index=0):
         """Absolute camera-space joints via the least-squares root
         reconstruction (requires joint_space; utils.get_deter_cam semantics,
         utils.py:296-332)."""
-        out = self._forward(self.variables, jnp.asarray(crops))
+        out = self._forward(self.serve_variables, jnp.asarray(crops))
         if 'spec_mat' not in out:
             raise ValueError('predict_absolute requires a joint_space model')
         relat = out['relat_cam'] - out['relat_cam'][:, key_index:key_index + 1]
@@ -154,9 +164,22 @@ class Predictor:
         return scales
 
     def quantize_with_scales(self, scales, skip=quant.DEFAULT_SKIP):
-        """Apply previously calibrated activation scales (see quantize)."""
+        """Apply previously calibrated activation scales (see quantize).
+
+        Weights are quantized ONCE here (quant.prequantize_params) into
+        `serve_variables`, which the jitted forward runs with: the live
+        path passes params as jit ARGUMENTS, so leaving quantization to the
+        interceptor would re-run abs-max/round/clip over every kernel on
+        every call. `self.variables` keeps the float originals (sharable
+        with other Predictors, re-quantizable with a new skip list)."""
         self._quant_scales = dict(scales)
         self._quant_skip = tuple(skip)
+        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
+        qparams, self._quant_wscales = quant.prequantize_params(
+            self.variables['params'], self._quant_scales, self._quant_skip,
+            dtype)
+        self._quant_variables = {'params': qparams,
+                                 'batch_stats': self.variables['batch_stats']}
         # fresh jit wrapper: the old one cached the bf16 trace
         self._forward = jax.jit(self._forward_impl)
         if hasattr(self, '_compiled'):
@@ -167,7 +190,8 @@ class Predictor:
         """Ahead-of-time compile the forward for the configured batch size
         (removes first-request latency in serving)."""
         inputs = self._sample_inputs(self.batch_size)
-        lowered = jax.jit(self._forward_impl).lower(self.variables, *inputs)
+        lowered = jax.jit(self._forward_impl).lower(self.serve_variables,
+                                                    *inputs)
         self._compiled = lowered.compile()
         return self._compiled
 
@@ -179,7 +203,7 @@ class Predictor:
         analogue of a TF SavedModel; the reference has no deployment
         path at all."""
         from jax import export as jax_export
-        variables = jax.device_get(self.variables)
+        variables = jax.device_get(self.serve_variables)
 
         def predict(*inputs):
             return self._forward_impl(variables, *inputs)
@@ -221,6 +245,7 @@ class ArtifactPredictor:
                                 for a in self._exported.out_avals)
         self.batch_size = self.in_shapes[0][0]
         self.variables = None               # weights live in the artifact
+        self.serve_variables = None
         self._call = jax.jit(self._exported.call)
 
     def aot_compile(self):
@@ -323,7 +348,8 @@ class BatchingServer:
                 if n < self.batch_size:
                     pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
                     crops = np.concatenate([crops, pad])
-                out = compiled(self.predictor.variables, jnp.asarray(crops))
+                out = compiled(self.predictor.serve_variables,
+                               jnp.asarray(crops))
                 host = jax.tree_util.tree_map(np.asarray, out)
                 for i, (_, fut) in enumerate(items):
                     fut.set_result(jax.tree_util.tree_map(

@@ -139,6 +139,74 @@ def test_partial_variant_quantizes_plain_convs_only():
     assert np.max(np.abs(out - ref)) < 10.0
 
 
+def test_prequantized_params_match_tracetime_quantization():
+    """The live Predictor path runs on prequantized int8 kernels
+    (quant.prequantize_params via serve_variables) so the per-call jit
+    never re-quantizes the weights. The int8 kernels and weight scales
+    must be BIT-identical to what trace-time quantization produces (the
+    export/baked-constant path); the forward outputs then agree to float
+    rounding — XLA constant-folds the dequant multiplier chain
+    ((sx*sw)·BN-scale) in different association orders in the two
+    programs, so output bits can differ by ~1 ulp. self.variables must
+    keep the float originals."""
+    import flax
+
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=2)
+    float_params = p.variables['params']
+    bstats = p.variables['batch_stats']
+    scales = p.quantize([crops(11)])
+
+    # float originals untouched, serving copy prequantized
+    assert p.variables['params'] is float_params
+    flat = flax.traverse_util.flatten_dict(p.serve_variables['params'])
+    int8_keys = [k for k, v in flat.items()
+                 if jnp.asarray(v).dtype == jnp.int8]
+    assert len(int8_keys) > 15, int8_keys     # trunk kernels prequantized
+    assert all(k[-1] == 'kernel' for k in int8_keys)
+    assert not any('regressor' in k[-2] for k in int8_keys)  # skip is live
+    assert p._quant_wscales and all(
+        '/'.join(k[:-1]) in p._quant_wscales for k in int8_keys)
+
+    # the prequantized int8 kernels + scales are BIT-equal to quantizing
+    # the same float kernels directly (what the interceptor does when the
+    # kernel is still float, e.g. the baked export path)
+    flat_float = flax.traverse_util.flatten_dict(float_params)
+    for key in int8_keys:
+        wq_ref, sw_ref = quant.quantize_kernel(flat_float[key])
+        np.testing.assert_array_equal(np.asarray(flat[key]),
+                                      np.asarray(wq_ref))
+        np.testing.assert_array_equal(
+            np.asarray(p._quant_wscales['/'.join(key[:-1])]),
+            np.asarray(sw_ref))
+
+    # model features: trace-time quantization of the float kernels vs the
+    # prequantized-int8 live variables — same int8 math, so outputs agree
+    # to float rounding (measured 1.8e-07 abs / 1.9e-05 rel; the residue
+    # is XLA folding the constant dequant multipliers in different orders)
+    x = jnp.asarray(crops(12))
+    live = p.predict_crops(x)['relat_cam']
+    tracetime = quant.quantized_call(
+        lambda *ins: p.model.apply(
+            {'params': float_params, 'batch_stats': bstats},
+            *ins, train=False),
+        scales)
+    with_int8 = quant.quantized_call(
+        lambda *ins: p.model.apply(p.serve_variables, *ins, train=False),
+        scales, wscales=p._quant_wscales)
+    np.testing.assert_allclose(np.asarray(jax.jit(tracetime)(x)),
+                               np.asarray(jax.jit(with_int8)(x)),
+                               rtol=1e-4, atol=1e-6)
+    assert np.all(np.isfinite(live))
+
+    # re-quantize with a different skip list: starts from the float
+    # originals, so the heads now quantize too
+    p.quantize_with_scales(scales, skip=())
+    flat2 = flax.traverse_util.flatten_dict(p.serve_variables['params'])
+    assert any('regressor' in k[-2] for k, v in flat2.items()
+               if jnp.asarray(v).dtype == jnp.int8)
+
+
 def test_quantized_mpjpe_on_trained_model():
     """Accuracy where it matters: a TRAINED model. Random init is the
     pathological regime for the volumetric soft-argmax (near-uniform logits
