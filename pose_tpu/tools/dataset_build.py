@@ -321,7 +321,7 @@ def get_h36m_group(phase, args, detector=None, decode=None):
 
     samples = []
     for partition in H36M_PARTITIONS[phase]:
-        root_part = os.path.join(args.data_root_path, 'S' + str(partition))
+        root_part = os.path.join(args.data_root_path, f'S{partition}')
         root_image = os.path.join(root_part, 'Images')
 
         activities = [e for e in os.listdir(root_image)

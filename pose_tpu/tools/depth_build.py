@@ -25,6 +25,16 @@ NTU_JOINT_INDICES = [63, 4, 7, 38, 3, 6, 5, 47, 24, 27, 42, 17, 19, 67, 18,
                      20, 52]
 
 
+def unpickle(*path_parts):
+    with open(os.path.join(*path_parts), 'rb') as f:
+        return pickle.load(f)
+
+
+def pickle_to(obj, *path_parts):
+    with open(os.path.join(*path_parts), 'wb') as f:
+        pickle.dump(obj, f)
+
+
 # -------------------------------------------------------- motion-gated filter
 
 
@@ -122,16 +132,13 @@ def filter_ntu_samples(anno_files, cam_id, camera, root_path):
         samples += _collect_motion_gated(stream(), camera)
 
     os.makedirs(os.path.join(root_path, 'midway_samples'), exist_ok=True)
-    with open(os.path.join(root_path, 'midway_samples', cam_id + '.pkl'),
-              'wb') as file:
-        pickle.dump(samples, file)
+    pickle_to(samples, root_path, 'midway_samples', cam_id + '.pkl')
     return samples
 
 
 def filter_ntu_main(root_path, skeleton_path, num_processes=6):
     """(filter_ntu_samples.py:105-119)"""
-    with open(os.path.join(root_path, 'cameras.pkl'), 'rb') as file:
-        cameras = pickle.load(file)
+    cameras = unpickle(root_path, 'cameras.pkl')
     anno_files = glob.glob(os.path.join(skeleton_path, '*.npy'))
     anno_files_by_cam = groupby(anno_files, get_cam_id)
 
@@ -243,8 +250,7 @@ def filter_pku_main(root, anno_path, label_root=None, skeleton_root=None,
     pool.join()
     samples = [s for handle in handles for s in handle.get()]
 
-    with open(os.path.join(root, 'midway_samples.pkl'), 'wb') as file:
-        pickle.dump(samples, file)
+    pickle_to(samples, root, 'midway_samples.pkl')
     return samples
 
 
@@ -296,9 +302,7 @@ def get_depth_cams_main(path, out_path=None):
     anno_files_by_cam = groupby(anno_files, get_cam_id)
     cameras = {cam_id: calibrate_depth_camera(annos, cam_id)
                for cam_id, annos in anno_files_by_cam.items()}
-    out_path = out_path or os.path.join(path, 'depth_cameras.pkl')
-    with open(out_path, 'wb') as file:
-        pickle.dump(cameras, file)
+    pickle_to(cameras, out_path or os.path.join(path, 'depth_cameras.pkl'))
     return cameras
 
 
@@ -349,11 +353,8 @@ def get_ntu_group(phase, args, detector=None):
     assert os.path.isdir(args.data_down_path)
     detector = detector or make_detector()
 
-    with open(os.path.join(args.data_root_path, 'cameras.pkl'), 'rb') as f:
-        color_cameras = pickle.load(f)
-    with open(os.path.join(args.data_root_path, 'depth_cameras.pkl'),
-              'rb') as f:
-        depth_cameras = pickle.load(f)
+    color_cameras = unpickle(args.data_root_path, 'cameras.pkl')
+    depth_cameras = unpickle(args.data_root_path, 'depth_cameras.pkl')
 
     sample_files = glob.glob(
         os.path.join(args.data_root_path, 'midway_samples', '*.pkl'))
@@ -366,9 +367,8 @@ def get_ntu_group(phase, args, detector=None):
               len(sample_files), ']')
         cameras = (color_cameras[cam_id], depth_cameras[cam_id])
 
-        with open(sample_file, 'rb') as f:
-            samples_cur_cam = pickle.load(f)
-        samples_by_video = groupby(samples_cur_cam, lambda s: s['video'])
+        samples_by_video = groupby(unpickle(sample_file),
+                                   lambda s: s['video'])
 
         for i_vid, (video_id, samples_cur_video) in enumerate(
                 samples_by_video.items()):
@@ -403,8 +403,7 @@ def get_ntu_group(phase, args, detector=None):
             os.path.dirname(os.path.dirname(sample_file)), 'final_samples',
             os.path.basename(sample_file))
         os.makedirs(os.path.dirname(final_file), exist_ok=True)
-        with open(final_file, 'wb') as f:
-            pickle.dump(final_samples, f)
+        pickle_to(final_samples, final_file)
 
 
 def get_pku_group(args, detector=None):
@@ -416,13 +415,10 @@ def get_pku_group(args, detector=None):
     assert os.path.isdir(args.data_down_path)
     detector = detector or make_detector()
 
-    with open(os.path.join(args.data_root_path, 'cameras.pkl'), 'rb') as f:
-        cameras = pickle.load(f)
+    cameras = unpickle(args.data_root_path, 'cameras.pkl')
 
     sample_file = os.path.join(args.data_root_path, 'midway_samples.pkl')
-    with open(sample_file, 'rb') as f:
-        samples = pickle.load(f)
-    samples_by_video = groupby(samples, lambda s: s['video'])
+    samples_by_video = groupby(unpickle(sample_file), lambda s: s['video'])
 
     final_samples = []
     exclusions = json.load(
@@ -473,8 +469,5 @@ def get_pku_group(args, detector=None):
             if made and not os.path.exists(new_depth_path):
                 cv2.imwrite(new_depth_path, depth_image)
 
-    final_file = os.path.join(
-        os.path.dirname(sample_file),
-        os.path.basename(sample_file).replace('midway', 'final'))
-    with open(final_file, 'wb') as f:
-        pickle.dump(final_samples, f)
+    pickle_to(final_samples, os.path.dirname(sample_file),
+              os.path.basename(sample_file).replace('midway', 'final'))
