@@ -39,12 +39,33 @@ def default_args(**over):
 
 
 class Predictor:
-    """Fixed-shape, jit-compiled pose predictor for one model variant."""
+    """Fixed-shape, jit-compiled pose predictor for one model variant.
 
-    def __init__(self, args, variant='rgb', variables=None, batch_size=8):
+    With `mesh` (a jax.sharding Mesh with a 'data' axis, e.g.
+    `parallel.make_mesh(n)`), serving runs data-parallel: crops shard over
+    'data', weights replicate, and GSPMD partitions the forward+decode —
+    the whole pipeline is batch-elementwise, so DP inference needs no
+    collectives and scales linearly over chips. Ragged batches are padded
+    to the mesh's data extent and sliced back."""
+
+    def __init__(self, args, variant='rgb', variables=None, batch_size=8,
+                 mesh=None):
         self.args = args
         self.variant = variant
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if 'data' not in mesh.axis_names:
+                raise ValueError(f'serving mesh needs a "data" axis, got '
+                                 f'{mesh.axis_names}')
+            self._ndata = mesh.shape['data']
+            if batch_size % self._ndata:
+                raise ValueError(f'batch_size {batch_size} must divide over '
+                                 f'the {self._ndata}-way data axis')
+            self._rep = NamedSharding(mesh, P())
+            self._shard = NamedSharding(mesh, P('data'))
+        self._placed = None                  # mesh-replicated weights cache
         self.model = build_model(args, variant)
         if variables is None:
             variables = self.model.init(
@@ -80,9 +101,28 @@ class Predictor:
     @property
     def serve_variables(self):
         """What the jitted forward runs with: the prequantized int8-kernel
-        copy after quantize(), the float originals otherwise."""
-        return (self._quant_variables if self._quant_variables is not None
-                else self.variables)
+        copy after quantize(), the float originals otherwise; replicated
+        onto the mesh (cached — one transfer, not one per request) when
+        data-parallel serving is configured."""
+        v = (self._quant_variables if self._quant_variables is not None
+             else self.variables)
+        if self.mesh is None:
+            return v
+        if self._placed is None or self._placed[0] is not v:
+            self._placed = (v, jax.device_put(v, self._rep))
+        return self._placed[1]
+
+    def _place_inputs(self, inputs):
+        """Shard a batch over the mesh's data axis, edge-padding a ragged
+        leading dim up to a multiple of it. Returns (inputs, real_batch)."""
+        b = inputs[0].shape[0]
+        if self.mesh is None:
+            return inputs, b
+        up = -(-b // self._ndata) * self._ndata
+        if up != b:
+            inputs = tuple(jnp.concatenate(
+                [x, jnp.repeat(x[-1:], up - b, axis=0)]) for x in inputs)
+        return tuple(jax.device_put(x, self._shard) for x in inputs), b
 
     def _model_apply(self, variables, inputs):
         apply_fn = lambda *ins: self.model.apply(variables, *ins, train=False)
@@ -122,17 +162,21 @@ class Predictor:
 
     def predict_crops(self, *inputs):
         """Root-relative 3D (and 2D when joint_space) for prepared crops."""
-        inputs = tuple(jnp.asarray(x) for x in inputs)
+        inputs, b = self._place_inputs(tuple(jnp.asarray(x) for x in inputs))
         out = self._forward(self.serve_variables, *inputs)
-        return jax.tree_util.tree_map(np.asarray, out)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:b], out)
 
     def predict_absolute(self, crops, intrinsics, key_index=0):
         """Absolute camera-space joints via the least-squares root
         reconstruction (requires joint_space; utils.get_deter_cam semantics,
         utils.py:296-332)."""
-        out = self._forward(self.serve_variables, jnp.asarray(crops))
+        (crops,), b = self._place_inputs((jnp.asarray(crops),))
+        out = self._forward(self.serve_variables, crops)
         if 'spec_mat' not in out:
             raise ValueError('predict_absolute requires a joint_space model')
+        # slice padding off before the root solve: intrinsics has one row
+        # per REAL sample
+        out = jax.tree_util.tree_map(lambda a: a[:b], out)
         relat = out['relat_cam'] - out['relat_cam'][:, key_index:key_index + 1]
         absolute = recon.recon_root(out['spec_mat'], relat,
                                     jnp.asarray(intrinsics))
@@ -189,7 +233,7 @@ class Predictor:
     def aot_compile(self):
         """Ahead-of-time compile the forward for the configured batch size
         (removes first-request latency in serving)."""
-        inputs = self._sample_inputs(self.batch_size)
+        inputs, _ = self._place_inputs(self._sample_inputs(self.batch_size))
         lowered = jax.jit(self._forward_impl).lower(self.serve_variables,
                                                     *inputs)
         self._compiled = lowered.compile()
@@ -254,6 +298,9 @@ class ArtifactPredictor:
     def _compiled(self, variables, *inputs):
         del variables                       # Predictor._compiled signature
         return self._call(*inputs)
+
+    def _place_inputs(self, inputs):        # Predictor surface (no mesh)
+        return inputs, inputs[0].shape[0]
 
     def predict_crops(self, *inputs):
         out = self._call(*(jnp.asarray(x) for x in inputs))
@@ -348,8 +395,9 @@ class BatchingServer:
                 if n < self.batch_size:
                     pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
                     crops = np.concatenate([crops, pad])
-                out = compiled(self.predictor.serve_variables,
-                               jnp.asarray(crops))
+                batch, _ = self.predictor._place_inputs(
+                    (jnp.asarray(crops),))
+                out = compiled(self.predictor.serve_variables, *batch)
                 host = jax.tree_util.tree_map(np.asarray, out)
                 for i, (_, fut) in enumerate(items):
                     fut.set_result(jax.tree_util.tree_map(

@@ -201,3 +201,72 @@ def test_export_artifact_roundtrip(tmp_path):
     # deviation on millimeter-scale coordinates (vs the 1 mm north star)
     np.testing.assert_allclose(np.asarray(out['relat_cam']),
                                direct['relat_cam'], atol=2e-3)
+
+
+class TestMeshServing:
+    """Data-parallel serving: Predictor(mesh=make_mesh(8)) shards crops
+    over the 'data' axis with replicated weights — same numbers as the
+    single-device predictor, linear scale-out over chips."""
+
+    def _pair(self, **over):
+        from pose_tpu.parallel import make_mesh
+        args = small_args(**over)
+        single = Predictor(args, 'rgb', batch_size=8)
+        mesh = Predictor(args, 'rgb', variables=single.variables,
+                         batch_size=8, mesh=make_mesh(8))
+        return single, mesh
+
+    def test_matches_single_device(self):
+        single, meshed = self._pair()
+        crops = np.random.RandomState(3).rand(8, 65, 65, 3).astype(
+            np.float32)
+        ref, out = single.predict_crops(crops), meshed.predict_crops(crops)
+        np.testing.assert_allclose(out['relat_cam'], ref['relat_cam'],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(out['spec_mat'], ref['spec_mat'],
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_ragged_batch_pads_and_slices(self):
+        single, meshed = self._pair()
+        crops = np.random.RandomState(4).rand(5, 65, 65, 3).astype(
+            np.float32)
+        ref = single.predict_crops(crops)['relat_cam']
+        out = meshed.predict_crops(crops)['relat_cam']
+        assert out.shape == ref.shape == (5, 5, 3)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+        K = np.tile(np.array([[100., 0, 32], [0, 100., 32], [0, 0, 1]],
+                             np.float32), (5, 1, 1))
+        absolute = meshed.predict_absolute(crops, K)
+        assert absolute.shape == (5, 5, 3)
+        np.testing.assert_allclose(absolute,
+                                   single.predict_absolute(crops, K),
+                                   rtol=1e-4, atol=1e-2)
+
+    def test_quantized_mesh_serving(self):
+        single, meshed = self._pair()
+        calib = np.random.RandomState(5).rand(8, 65, 65, 3).astype(
+            np.float32)
+        scales = single.quantize([calib])
+        meshed.quantize_with_scales(scales)
+        crops = np.random.RandomState(6).rand(8, 65, 65, 3).astype(
+            np.float32)
+        ref = single.predict_crops(crops)['relat_cam']
+        out = meshed.predict_crops(crops)['relat_cam']
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-2)
+
+    def test_batching_server_on_mesh(self):
+        from pose_tpu.serve import BatchingServer
+        _, meshed = self._pair(joint_space=False)
+        rng = np.random.RandomState(7)
+        crops = rng.rand(6, 65, 65, 3).astype(np.float32)
+        expected = meshed.predict_crops(crops)['relat_cam']
+        with BatchingServer(meshed, max_delay_ms=20.0) as server:
+            futs = [server.submit(c) for c in crops]
+            got = np.stack([f.result(60)['relat_cam'] for f in futs])
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)
+
+    def test_mesh_validation(self):
+        from pose_tpu.parallel import make_mesh
+        args = small_args()
+        with pytest.raises(ValueError, match='divide'):
+            Predictor(args, 'rgb', batch_size=6, mesh=make_mesh(8))
