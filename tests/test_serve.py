@@ -270,3 +270,17 @@ class TestMeshServing:
         args = small_args()
         with pytest.raises(ValueError, match='divide'):
             Predictor(args, 'rgb', batch_size=6, mesh=make_mesh(8))
+
+    def test_fusion_two_stream_mesh(self):
+        from pose_tpu.parallel import make_mesh
+        args = small_args(joint_space=False)
+        single = Predictor(args, 'fusion', batch_size=8)
+        meshed = Predictor(args, 'fusion', variables=single.variables,
+                           batch_size=8, mesh=make_mesh(8))
+        rng = np.random.RandomState(8)
+        color = rng.rand(5, 65, 65, 3).astype(np.float32)   # ragged too
+        depth = rng.rand(5, 65, 65, 1).astype(np.float32)
+        ref = single.predict_crops(color, depth)['relat_cam']
+        out = meshed.predict_crops(color, depth)['relat_cam']
+        assert out.shape == (5, 5, 3)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
