@@ -49,8 +49,10 @@ def pku_split(split, phase, sample):
 SPLITS = dict(h36m=h36m_split, cmu=cmu_split, ntu=ntu_split, pku=pku_split)
 
 
-def _load_pickle(path):
-    with open(path, 'rb') as file:
+def unpickle(*path_parts):
+    """Load one pickle file (path segments are joined). Shared with the
+    offline tools (tools/depth_build.py)."""
+    with open(os.path.join(*path_parts), 'rb') as file:
         return pickle.load(file)
 
 
@@ -60,13 +62,13 @@ def _load_split(root):
 
 
 def get_cmu_samples(root, phase):
-    samples = _load_pickle(os.path.join(root, 'samples.pkl'))
+    samples = unpickle(root, 'samples.pkl')
     split = _load_split(root)
     return [s for s in samples if cmu_split(split, phase, s)]
 
 
 def get_h36m_samples(root, phase):
-    samples = _load_pickle(os.path.join(root, 'samples.pkl'))
+    samples = unpickle(root, 'samples.pkl')
     split = _load_split(root)
     return [s for s in samples if h36m_split(split, phase, s)]
 
@@ -77,13 +79,13 @@ def get_ntu_samples(root, phase):
     samples = []
     for sample_file in sorted(glob.glob(
             os.path.join(root, 'final_samples', '*.pkl'))):
-        samples += _load_pickle(sample_file)
+        samples += unpickle(sample_file)
     split = _load_split(root)
     return [s for s in samples if ntu_split(split, phase, s)]
 
 
 def get_pku_samples(root, phase):
-    samples = _load_pickle(os.path.join(root, 'final_samples.pkl'))
+    samples = unpickle(root, 'final_samples.pkl')
     split = _load_split(root)
     return [s for s in samples if pku_split(split, phase, s)]
 
@@ -100,9 +102,9 @@ def load_depth_cameras(data_name, root):
     """Per-video depth cameras: NTU keyed by setup id (depth_cameras.pkl),
     PKU by camera letter (cameras.pkl) (depth_datasets.py:96-111)."""
     if data_name == 'ntu':
-        return _load_pickle(os.path.join(root, 'depth_cameras.pkl'))
+        return unpickle(root, 'depth_cameras.pkl')
     if data_name == 'pku':
-        return _load_pickle(os.path.join(root, 'cameras.pkl'))
+        return unpickle(root, 'cameras.pkl')
     return None
 
 

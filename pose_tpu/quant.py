@@ -61,23 +61,29 @@ def calibrate(apply_fn, batches):
     no eager per-op dispatch (which through a remote-device transport would
     pay one round trip per op).
     """
+    records = {}
+
+    def recorder(next_fun, args, kwargs, context):
+        if (isinstance(context.module, nn.Conv)
+                and context.method_name == '__call__'):
+            path = _conv_path(context.module)
+            cur = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            prev = records.get(path)
+            # max over CALL SITES too: a weight-shared conv module applied
+            # twice per forward must calibrate on both inputs
+            records[path] = cur if prev is None else jnp.maximum(prev, cur)
+        return next_fun(*args, **kwargs)
+
+    @jax.jit
+    def fwd(*inputs):
+        records.clear()          # per-trace recording dict; runs at trace
+        with nn.intercept_methods(recorder):   # time only, so same-shaped
+            out = apply_fn(*inputs)            # batches reuse one compile
+        return out, dict(records)
+
     totals = {}
     for batch in batches:
-        records = {}
-
-        def recorder(next_fun, args, kwargs, context):
-            if (isinstance(context.module, nn.Conv)
-                    and context.method_name == '__call__'):
-                records[_conv_path(context.module)] = jnp.max(
-                    jnp.abs(args[0].astype(jnp.float32)))
-            return next_fun(*args, **kwargs)
-
-        def fwd(*inputs):
-            with nn.intercept_methods(recorder):
-                out = apply_fn(*inputs)
-            return out, dict(records)
-
-        _, seen = jax.jit(fwd)(*batch)
+        _, seen = fwd(*batch)
         for path, val in jax.device_get(seen).items():
             totals[path] = max(totals.get(path, 0.0), float(val))
     if not totals:
@@ -138,6 +144,16 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None):
         if path not in absmax or path.rsplit('/', 1)[-1] in skip:
             return next_fun(*args, **kwargs)
         x = args[0]
+        # fail LOUDLY on nn.Conv attributes the int8 body does not
+        # replicate — a silent mismatch would compute a different conv
+        if m.input_dilation not in (None, 1) and tuple(
+                _pair(m.input_dilation)) != (1, 1):
+            raise NotImplementedError(
+                f'int8 interceptor: input_dilation at {path!r}')
+        if isinstance(m.padding, str) and m.padding not in (
+                'SAME', 'VALID', 'SAME_LOWER'):
+            raise NotImplementedError(
+                f'int8 interceptor: padding {m.padding!r} at {path!r}')
         kernel = m.scope.get_variable('params', 'kernel')    # HWIO
         bias = m.scope.get_variable('params', 'bias') if m.use_bias else None
 

@@ -59,6 +59,12 @@ class Predictor:
             if 'data' not in mesh.axis_names:
                 raise ValueError(f'serving mesh needs a "data" axis, got '
                                  f'{mesh.axis_names}')
+            if jax.process_count() > 1:
+                raise ValueError(
+                    'mesh serving is single-process (requests arrive at one '
+                    'host): under jax.distributed, give each process its '
+                    'own Predictor over its local devices and route '
+                    'requests per host')
             self._ndata = mesh.shape['data']
             if batch_size % self._ndata:
                 raise ValueError(f'batch_size {batch_size} must divide over '
@@ -101,15 +107,16 @@ class Predictor:
     @property
     def serve_variables(self):
         """What the jitted forward runs with: the prequantized int8-kernel
-        copy after quantize(), the float originals otherwise; replicated
-        onto the mesh (cached — one transfer, not one per request) when
-        data-parallel serving is configured."""
+        copy after quantize(), the float originals otherwise — placed on
+        device ONCE and cached. Without the cache, numpy-leaved weight
+        trees (Predictor.from_checkpoint converts on host) would re-upload
+        the full checkpoint on every request."""
         v = (self._quant_variables if self._quant_variables is not None
              else self.variables)
-        if self.mesh is None:
-            return v
         if self._placed is None or self._placed[0] is not v:
-            self._placed = (v, jax.device_put(v, self._rep))
+            placed = (jax.device_put(v, self._rep) if self.mesh is not None
+                      else jax.device_put(v))
+            self._placed = (v, placed)
         return self._placed[1]
 
     def _place_inputs(self, inputs):
@@ -380,13 +387,20 @@ class BatchingServer:
         return items
 
     def _worker(self):
-        compiled = self.predictor._compiled
         while True:
             items = self._collect()
             if items is None:
                 return
             n = len(items)
             try:
+                # re-resolve the executable per batch: a live
+                # predictor.quantize() drops the stale float AOT program
+                # (quantize_with_scales), so the next batch recompiles
+                # int8 instead of wedging every future with an aval
+                # mismatch against int8 serve_variables
+                compiled = getattr(self.predictor, '_compiled', None)
+                if compiled is None:
+                    compiled = self.predictor.aot_compile()
                 # assembly is inside the try: a malformed request (wrong
                 # crop shape, non-array) must resolve the batch's futures
                 # with the error, not kill the worker thread and wedge

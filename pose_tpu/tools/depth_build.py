@@ -14,6 +14,7 @@ import random
 import numpy as np
 import scipy.optimize
 
+from ..data.samples import unpickle
 from ..geometry import boxlib
 from ..geometry import camera as cameralib
 from .dataset_build import groupby, transfer_bbox
@@ -23,11 +24,6 @@ from .video import depth_prefetch, prefetch
 # (filter_ntu_samples.py:77)
 NTU_JOINT_INDICES = [63, 4, 7, 38, 3, 6, 5, 47, 24, 27, 42, 17, 19, 67, 18,
                      20, 52]
-
-
-def unpickle(*path_parts):
-    with open(os.path.join(*path_parts), 'rb') as f:
-        return pickle.load(f)
 
 
 def pickle_to(obj, *path_parts):

@@ -262,3 +262,49 @@ def test_quantized_mpjpe_on_trained_model():
     # count); longer training shrinks it (0.21-0.29 mm at 400-600 steps,
     # docs/PERF.md) — an order under the random-init deltas above either way
     assert abs(q - bf) < 3.0, (bf, q)
+
+
+def test_calibrate_compiles_once_and_maxes_over_call_sites():
+    """Two review findings: (a) calibrate re-jitted per batch (one remote
+    TPU compile EACH on hardware) — same-shaped batches must reuse one
+    trace; (b) a weight-shared conv module applied twice per forward must
+    calibrate on the max over BOTH call sites, not the last one."""
+    import flax.linen as nn
+
+    class Shared(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            conv = nn.Conv(4, (1, 1), name='shared')
+            return conv(conv(x) * 0.01)   # second input is 100x smaller
+
+    m = Shared()
+    x1 = jnp.ones((1, 4, 4, 4)) * 3.0
+    v = m.init(jax.random.PRNGKey(0), x1)
+    traces = []
+
+    def apply_fn(x):
+        traces.append(1)                  # runs at trace time only
+        return m.apply(v, x)
+
+    scales = quant.calibrate(apply_fn, [x1, x1 * 0.5])
+    assert len(traces) == 1, traces       # second batch reuses the compile
+    # first call site sees |x|=3; the last-call-wins bug would record the
+    # much smaller second-site input instead
+    assert scales['shared'] >= 3.0, scales
+
+
+def test_interceptor_rejects_unsupported_conv_attributes():
+    import flax.linen as nn
+
+    class Dilated(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3), input_dilation=2,
+                           padding=((1, 1), (1, 1)), name='up')(x)
+
+    m = Dilated()
+    x = jnp.ones((1, 4, 4, 4))
+    v = m.init(jax.random.PRNGKey(0), x)
+    fwd = quant.quantized_call(lambda a: m.apply(v, a), {'up': 1.0})
+    with pytest.raises(NotImplementedError, match='input_dilation'):
+        fwd(x)

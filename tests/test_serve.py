@@ -284,3 +284,42 @@ class TestMeshServing:
         out = meshed.predict_crops(color, depth)['relat_cam']
         assert out.shape == (5, 5, 3)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_live_quantize_behind_running_server():
+    """Quantizing a Predictor already behind a BatchingServer must not
+    wedge it: the worker re-resolves the AOT executable per batch, so the
+    first post-quantize batch recompiles int8 instead of feeding int8
+    serve_variables to the stale float program (review finding)."""
+    from pose_tpu.serve import BatchingServer
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=2)
+    rng = np.random.RandomState(9)
+    crop = rng.rand(65, 65, 3).astype(np.float32)
+    with BatchingServer(p, max_delay_ms=5.0) as server:
+        before = server.predict(crop, timeout=120)['relat_cam']
+        p.quantize([rng.rand(4, 65, 65, 3).astype(np.float32)])
+        after = server.predict(crop, timeout=120)['relat_cam']
+    assert np.all(np.isfinite(before)) and np.all(np.isfinite(after))
+    # int8 convs actually took effect (outputs differ, within decode tol)
+    assert not np.array_equal(before, after)
+    assert np.max(np.abs(before - after)) < 10.0
+
+
+def test_numpy_checkpoint_weights_are_placed_once():
+    """from_checkpoint leaves numpy arrays in .variables; serve_variables
+    must return a cached on-device copy (one upload), not hand the numpy
+    tree to every jitted call (per-request full-checkpoint re-upload
+    through a remote transport — review finding)."""
+    import jax as _jax
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=2)
+    p.variables = _jax.tree_util.tree_map(np.asarray,
+                                          _jax.device_get(p.variables))
+    sv1 = p.serve_variables
+    leaves = _jax.tree_util.tree_leaves(sv1)
+    assert all(isinstance(l, _jax.Array) for l in leaves)
+    assert p.serve_variables is sv1       # cached, not re-placed
+    out = p.predict_crops(np.random.RandomState(10).rand(
+        2, 65, 65, 3).astype(np.float32))
+    assert np.all(np.isfinite(out['relat_cam']))
