@@ -88,13 +88,19 @@ def reproject_image_fast_if_visible(image, old_camera, new_camera,
     return reproject_image(image, old_camera, new_camera, output_imshape)
 
 
+import functools  # noqa: E402
+
+from pose_tpu.data.native_loader import (  # noqa: E402
+    DecodeCropLoader as ImageLoader)
+
+
+@functools.lru_cache()
 def get_image_loader():
-    """Vestigial in the reference (a TF1 decode_and_crop_jpeg session,
-    cameralib.py:765-793); the native C++ decode pool replaces it
-    (native/pose_loader.cc)."""
-    raise NotImplementedError(
-        'TF1 ImageLoader is vestigial; use '
-        'pose_tpu.data.native_loader.NativeImageLoader')
+    """Functional replacement for the reference's vestigial TF1
+    decode_and_crop_jpeg session (cameralib.py:765-793, whose `load()`
+    fetches the placeholder — it never decodes). Batch decode on the
+    training path uses the native C++ pool (native/pose_loader.cc)."""
+    return ImageLoader()
 
 
 def reproject_image_fast_partial(image_path, old_camera, new_camera,

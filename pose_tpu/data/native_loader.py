@@ -90,6 +90,47 @@ def available():
         return False
 
 
+class DecodeCropLoader:
+    """Functional decode-and-crop loader (host-side, offline tooling).
+
+    Replaces the reference's vestigial TF1 `ImageLoader`
+    (cameralib.py:765-793): a tf.Session around `decode_and_crop_jpeg` at
+    DCT ratios 1/2/4/8 whose `load()` fetches the *placeholder* rather than
+    any decoded tensor — i.e. it returns the input bytes unchanged, a dead
+    code path. This one actually decodes.
+
+    `load(encoded_jpeg, box, ratio)` takes JPEG bytes, an optional
+    `[x, y, w, h]` crop box (the reference reindexes its box to tf's
+    `[y, x, h, w]` window, cameralib.py:791 — same convention here), and a
+    downscale `ratio` in {1, 2, 4, 8} mirroring `decode_and_crop_jpeg`'s
+    DCT scaling (output side = ceil(side / ratio)). Returns RGB uint8."""
+
+    RATIOS = (1, 2, 4, 8)
+
+    def load(self, encoded_jpeg, box=None, ratio=1):
+        import cv2
+        if ratio not in self.RATIOS:
+            raise ValueError(f'ratio must be one of {self.RATIOS}: {ratio}')
+        buf = np.frombuffer(bytes(encoded_jpeg), np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError('JPEG decode failed')
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if box is not None:
+            x, y, w, h = (int(round(v)) for v in np.asarray(box))
+            ih, iw = img.shape[:2]
+            if not (0 <= x and 0 <= y and w > 0 and h > 0
+                    and x + w <= iw and y + h <= ih):
+                raise ValueError(  # decode_and_crop_jpeg errors likewise
+                    f'crop window {(x, y, w, h)} outside image {(iw, ih)}')
+            img = img[y:y + h, x:x + w]
+        if ratio > 1:
+            oh = -(-img.shape[0] // ratio)
+            ow = -(-img.shape[1] // ratio)
+            img = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_AREA)
+        return img
+
+
 class NativeDepthLoader:
     """PNG (8/16-bit grayscale) decode pool for the depth modality; float32
     canvases scaled like matplotlib imread (16-bit / 65535)."""

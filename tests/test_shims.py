@@ -275,3 +275,43 @@ def test_augment_shims_surface(tmp_path):
     assert occ.shape == (20, 16, 3) and mask.shape == (20, 16)
     pasted = augment_occluder.random_occlu(img, 1, str(tmp_path))
     assert pasted.shape == img.shape
+
+
+def test_image_loader_decode_crop_ratio(tmp_path):
+    """cameralib.get_image_loader(): working decode-and-crop with the
+    reference's [x, y, w, h] box and 1/2/4/8 ratio API (cameralib.py:765-793
+    — whose TF1 load() fetched the placeholder and never decoded)."""
+    import cv2
+    import cameralib
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / 'im.jpg')
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 95])
+    with open(path, 'rb') as f:
+        encoded = f.read()
+    decoded = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    loader = cameralib.get_image_loader()
+    assert loader is cameralib.get_image_loader()          # lru_cache parity
+
+    full = loader.load(encoded)
+    np.testing.assert_array_equal(full, decoded)
+
+    crop = loader.load(encoded, box=[8, 4, 32, 24])
+    np.testing.assert_array_equal(crop, decoded[4:28, 8:40])
+
+    half = loader.load(encoded, box=[8, 4, 32, 24], ratio=2)
+    assert half.shape == (12, 16, 3)
+    eighth = loader.load(encoded, ratio=8)                  # ceil(48/8)=6
+    assert eighth.shape == (6, 8, 3)
+
+    with pytest.raises(ValueError):
+        loader.load(encoded, box=[60, 0, 10, 10])           # out of bounds
+    with pytest.raises(ValueError):
+        loader.load(encoded, ratio=3)
+
+    # the reference's unfinished stub returns None (cameralib.py:796-801)
+    assert cameralib.reproject_image_fast_partial(path, None, None,
+                                                  (8, 8)) is None
