@@ -129,12 +129,20 @@ def prequantize_params(params, absmax, skip=DEFAULT_SKIP,
     return flax.traverse_util.unflatten_dict(out), wscales
 
 
-def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None):
+def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None,
+                     acc_dtype=jnp.int32):
     """A Flax method interceptor replacing every calibrated `nn.Conv` with
     quantize -> int8 MXU conv -> dequant. Convs whose path is missing from
     `absmax`, or whose final path component is in `skip`, run unchanged.
     A kernel that is ALREADY int8 (see `prequantize_params`) is used as-is
-    with its scale looked up in `wscales`."""
+    with its scale looked up in `wscales`.
+
+    `acc_dtype` is the conv's materialized output dtype
+    (`preferred_element_type`). int32 is the exact MXU accumulator;
+    bfloat16 halves the HBM bytes the dequant/requant chain reads back
+    (measured the serving Amdahl limiter, docs/experiments/
+    r3_serve_profile.log) at the cost of rounding the int32 accumulator
+    to 8 mantissa bits on output."""
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -179,7 +187,7 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None):
             rhs_dilation=_pair(m.kernel_dilation or 1),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=m.feature_group_count,
-            preferred_element_type=jnp.int32)
+            preferred_element_type=acc_dtype)
         y = y.astype(jnp.float32) * (sx * sw)
         if bias is not None:
             y = y + bias.astype(jnp.float32)
@@ -188,11 +196,13 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None):
     return interceptor
 
 
-def quantized_call(apply_fn, absmax, skip=DEFAULT_SKIP, wscales=None):
+def quantized_call(apply_fn, absmax, skip=DEFAULT_SKIP, wscales=None,
+                   acc_dtype=jnp.int32):
     """Wrap an inference forward so its convs run int8 (jit-compatible)."""
 
     def fwd(*inputs):
-        with nn.intercept_methods(make_interceptor(absmax, skip, wscales)):
+        with nn.intercept_methods(
+                make_interceptor(absmax, skip, wscales, acc_dtype)):
             return apply_fn(*inputs)
 
     return fwd

@@ -81,6 +81,7 @@ class Predictor:
         self._quant_scales = None            # set by quantize()
         self._quant_skip = quant.DEFAULT_SKIP
         self._quant_wscales = None           # per-channel weight scales
+        self._quant_acc = jnp.int32          # conv output dtype (quantize())
         self._quant_variables = None         # int8-kernel serving copy
         self._forward = jax.jit(self._forward_impl)
 
@@ -136,7 +137,8 @@ class Predictor:
         if self._quant_scales is not None:
             apply_fn = quant.quantized_call(apply_fn, self._quant_scales,
                                             self._quant_skip,
-                                            self._quant_wscales)
+                                            self._quant_wscales,
+                                            self._quant_acc)
         return apply_fn(*inputs)
 
     def _forward_impl(self, variables, *inputs):
@@ -189,7 +191,8 @@ class Predictor:
                                     jnp.asarray(intrinsics))
         return np.asarray(absolute)
 
-    def quantize(self, calib_batches, skip=quant.DEFAULT_SKIP):
+    def quantize(self, calib_batches, skip=quant.DEFAULT_SKIP,
+                 acc_dtype=jnp.int32):
         """Switch the serving forward to int8 convs (pose_tpu.quant): ~2x
         MXU rate on TPU for the conv trunk, with activation scales
         calibrated from `calib_batches` — an iterable of input tuples of
@@ -211,10 +214,11 @@ class Predictor:
         scales = quant.calibrate(
             lambda *ins: self.model.apply(variables, *ins, train=False),
             batches)
-        self.quantize_with_scales(scales, skip)
+        self.quantize_with_scales(scales, skip, acc_dtype)
         return scales
 
-    def quantize_with_scales(self, scales, skip=quant.DEFAULT_SKIP):
+    def quantize_with_scales(self, scales, skip=quant.DEFAULT_SKIP,
+                             acc_dtype=jnp.int32):
         """Apply previously calibrated activation scales (see quantize).
 
         Weights are quantized ONCE here (quant.prequantize_params) into
@@ -225,6 +229,7 @@ class Predictor:
         with other Predictors, re-quantizable with a new skip list)."""
         self._quant_scales = dict(scales)
         self._quant_skip = tuple(skip)
+        self._quant_acc = acc_dtype
         dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
         qparams, self._quant_wscales = quant.prequantize_params(
             self.variables['params'], self._quant_scales, self._quant_skip,

@@ -308,3 +308,25 @@ def test_interceptor_rejects_unsupported_conv_attributes():
     fwd = quant.quantized_call(lambda a: m.apply(v, a), {'up': 1.0})
     with pytest.raises(NotImplementedError, match='input_dilation'):
         fwd(x)
+
+
+def test_bf16_acc_dtype_tracks_int32():
+    """acc_dtype=bfloat16 (narrow conv output for requant bandwidth,
+    docs/experiments/r3_int8acc.py) rounds the int32 accumulator to 8
+    mantissa bits — decoded coordinates must stay close to the exact-int32
+    quantized path."""
+    args = small_args()
+    p = Predictor(args, 'rgb', batch_size=2)
+    x = crops(1)
+    scales = p.quantize([crops(0)])
+    ref = p.predict_crops(x)
+    p.quantize_with_scales(scales, acc_dtype=jnp.bfloat16)
+    assert p._quant_acc == jnp.bfloat16
+    out = p.predict_crops(x)
+    d3 = np.max(np.abs(out['relat_cam'] - ref['relat_cam']))
+    print(f'bf16-acc vs int32-acc decode delta: {d3:.3f} mm')
+    # accumulator rounding noise (2^-9 relative) is far below the int8
+    # activation quantization noise itself; random-init soft-argmax
+    # amplifies as in test_quantized_decode_tracks_bf16
+    assert d3 < 10.0, d3
+    assert np.all(np.isfinite(out['relat_cam']))
