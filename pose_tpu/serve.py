@@ -96,11 +96,12 @@ class Predictor:
         return (jnp.ones((b, s, s, in_ch)),)
 
     @classmethod
-    def from_checkpoint(cls, path, args, variant='rgb', batch_size=8):
+    def from_checkpoint(cls, path, args, variant='rgb', batch_size=8,
+                        mesh=None):
         """Load a model_<E>.pth (ours or reference-converted)."""
         blob = load_torch_file(path)
         state_dict = blob['model'] if isinstance(blob, dict) and 'model' in blob else blob
-        predictor = cls(args, variant, None, batch_size)
+        predictor = cls(args, variant, None, batch_size, mesh=mesh)
         predictor.variables = variables_from_torch(
             jax.device_get(predictor.variables), state_dict, verbose=False)
         return predictor

@@ -130,6 +130,12 @@ def build_parser():
     parser.add_argument('-out', default='predictions.json')
     parser.add_argument('-viz', help='directory for overlay PNGs')
     parser.add_argument('-batch_size', default=8, type=int)
+    parser.add_argument('-mesh', default=0, type=int,
+                        help='shard each batch over this many local devices '
+                             '(data-parallel serving, '
+                             'Predictor(mesh=make_mesh(N))); batch_size is '
+                             'rounded up to a multiple of N. Checkpoint '
+                             'models only')
     return parser
 
 
@@ -543,6 +549,10 @@ def main(argv=None):
             raise SystemExit('-quantize needs a checkpoint model; a '
                              '.jaxexport artifact bakes its precision at '
                              'export time (quantize before export_artifact)')
+        if args.mesh > 1:
+            raise SystemExit('-mesh needs a checkpoint model; a .jaxexport '
+                             'artifact bakes its partitioning at export '
+                             'time')
         predictor = serve.ArtifactPredictor(args.model_path)
         shape = predictor.in_shapes[0]
         if shape[1] != args.side_in:
@@ -572,10 +582,15 @@ def main(argv=None):
             depth_range=args.depth_range, joint_space=args.joint_space,
             extra_channel=args.extra_channel, half_acc=args.half_acc,
             depth_only=args.depth_only)
+        mesh = None
+        bs = max(1, min(args.batch_size, total or args.batch_size))
+        if args.mesh > 1:
+            from pose_tpu.parallel import make_mesh
+            mesh = make_mesh(args.mesh)
+            bs = -(-bs // args.mesh) * args.mesh   # divide over 'data'
         predictor = serve.Predictor.from_checkpoint(
-            args.model_path, pargs, variant=variant,
-            batch_size=max(1, min(args.batch_size, total or
-                                  args.batch_size)))
+            args.model_path, pargs, variant=variant, batch_size=bs,
+            mesh=mesh)
 
     def pad(seq, bs):
         seq = list(seq)

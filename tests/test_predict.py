@@ -374,3 +374,28 @@ def test_quantize_flag(fixture_dir):
                       '-num_joints', '19', '-joint_space', '-quantize',
                       '-images', str(fixture_dir / 'frame_*.jpg'),
                       '-out', str(fixture_dir / 'out_qa.json')])
+
+
+def test_mesh_flag_data_parallel(fixture_dir):
+    """-mesh N serves data-parallel (Predictor over make_mesh(N)): the
+    3-frame stream (a ragged final chunk after batch_size rounds up to a
+    mesh multiple) must reproduce the single-device run exactly, and the
+    flag is rejected for .jaxexport artifacts (partitioning bakes at
+    export)."""
+    base = cli(fixture_dir, 'out_1dev.json', ['-batch_size', '2'])
+    blob = cli(fixture_dir, 'out_mesh.json', ['-batch_size', '3',
+                                              '-mesh', '2'])
+    assert len(blob['frames']) == len(base['frames']) == 3
+    for ref, got in zip(base['frames'], blob['frames']):
+        np.testing.assert_allclose(np.asarray(got['relat_cam']),
+                                   np.asarray(ref['relat_cam']),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got['absolute_cam']),
+                                   np.asarray(ref['absolute_cam']),
+                                   rtol=0, atol=1e-3)
+    with pytest.raises(SystemExit):
+        predict.main(['-model_path', str(fixture_dir / 'pose.jaxexport'),
+                      '-side_in', '65', '-stride', '32', '-depth', '4',
+                      '-num_joints', '19', '-joint_space', '-mesh', '2',
+                      '-images', str(fixture_dir / 'frame_*.jpg'),
+                      '-out', str(fixture_dir / 'out_ma.json')])
