@@ -399,3 +399,20 @@ def test_mesh_flag_data_parallel(fixture_dir):
                       '-num_joints', '19', '-joint_space', '-mesh', '2',
                       '-images', str(fixture_dir / 'frame_*.jpg'),
                       '-out', str(fixture_dir / 'out_ma.json')])
+
+
+def test_mesh_quantize_compose(fixture_dir):
+    """-mesh and -quantize compose on the CLI: calibrate-on-first-batch int8
+    serving through the data-parallel predictor (quantize resets the jitted
+    forward; the int8 serve_variables then replicate over the mesh)."""
+    blob = cli(fixture_dir, 'out_mq.json', ['-batch_size', '3', '-mesh', '2',
+                                            '-quantize'])
+    qref = cli(fixture_dir, 'out_q1.json', ['-batch_size', '3', '-quantize'])
+    assert len(blob['frames']) == 3
+    for ref, got in zip(qref['frames'], blob['frames']):
+        relat = np.asarray(got['relat_cam'])
+        assert relat.shape == (19, 3) and np.all(np.isfinite(relat))
+        # same int8 graph, same calibration batch -> same outputs up to
+        # cross-batch-size XLA scheduling noise
+        np.testing.assert_allclose(relat, np.asarray(ref['relat_cam']),
+                                   rtol=0, atol=1e-3)
