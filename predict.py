@@ -587,7 +587,15 @@ def main(argv=None):
         if args.mesh > 1:
             from pose_tpu.parallel import make_mesh
             mesh = make_mesh(args.mesh)
-            bs = -(-bs // args.mesh) * args.mesh   # divide over 'data'
+            n_data = mesh.shape['data']
+            if n_data != args.mesh:
+                # make_mesh clamps to the available devices; serving with
+                # fewer shards than requested should be loud, not silent.
+                raise SystemExit(
+                    f'-mesh {args.mesh} requested but only {n_data} local '
+                    f'device(s) available; rerun with -mesh {n_data} (or '
+                    'fewer)')
+            bs = -(-bs // n_data) * n_data   # divide over 'data'
         predictor = serve.Predictor.from_checkpoint(
             args.model_path, pargs, variant=variant, batch_size=bs,
             mesh=mesh)

@@ -401,6 +401,16 @@ def test_mesh_flag_data_parallel(fixture_dir):
                       '-out', str(fixture_dir / 'out_ma.json')])
 
 
+def test_mesh_flag_rejects_more_shards_than_devices(fixture_dir):
+    """Requesting -mesh N beyond the local device count must fail loudly
+    (make_mesh silently clamps; serving with fewer shards than the user
+    asked for — or hitting an opaque divisibility error — is worse)."""
+    import jax
+    too_many = len(jax.devices()) + 1
+    with pytest.raises(SystemExit, match='device'):
+        cli(fixture_dir, 'out_m_over.json', ['-mesh', str(too_many)])
+
+
 def test_mesh_quantize_compose(fixture_dir):
     """-mesh and -quantize compose on the CLI: calibrate-on-first-batch int8
     serving through the data-parallel predictor (quantize resets the jitted
