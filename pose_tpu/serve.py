@@ -290,9 +290,16 @@ class ArtifactPredictor:
     so `BatchingServer` and `predict.py` run from the self-contained
     artifact with no model code or checkpoint on hand — the deployment
     handoff is a single file. The batch size and input shapes are baked
-    into the artifact (read back from `in_avals`)."""
+    into the artifact (read back from `in_avals`).
 
-    def __init__(self, path):
+    With `mesh` (a 'data'-axis Mesh, e.g. `parallel.make_mesh(n)`), the
+    imported graph serves data-parallel: inputs shard over 'data' and
+    GSPMD partitions the deserialized StableHLO — the baked-in weights
+    are constants, so they replicate, and the forward+decode is
+    batch-elementwise, so DP needs no collectives. The artifact's baked
+    batch size must divide over the data axis."""
+
+    def __init__(self, path, mesh=None):
         from jax import export as jax_export
         with open(path, 'rb') as f:
             self._exported = jax_export.deserialize(f.read())
@@ -303,7 +310,29 @@ class ArtifactPredictor:
         self.batch_size = self.in_shapes[0][0]
         self.variables = None               # weights live in the artifact
         self.serve_variables = None
-        self._call = jax.jit(self._exported.call)
+        self.mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if 'data' not in mesh.axis_names:
+                raise ValueError(f'serving mesh needs a "data" axis, got '
+                                 f'{mesh.axis_names}')
+            if jax.process_count() > 1:
+                raise ValueError(
+                    'mesh serving is single-process (requests arrive at one '
+                    'host): under jax.distributed, give each process its '
+                    'own ArtifactPredictor over its local devices')
+            ndata = mesh.shape['data']
+            if self.batch_size % ndata:
+                raise ValueError(
+                    f'artifact batch size {self.batch_size} (baked at '
+                    f'export) must divide over the {ndata}-way data axis')
+            self._shard = NamedSharding(mesh, P('data'))
+            self._call = jax.jit(
+                self._exported.call,
+                in_shardings=(self._shard,) * len(self.in_shapes))
+        else:
+            self._call = jax.jit(self._exported.call)
 
     def aot_compile(self):
         return self._call
@@ -312,11 +341,15 @@ class ArtifactPredictor:
         del variables                       # Predictor._compiled signature
         return self._call(*inputs)
 
-    def _place_inputs(self, inputs):        # Predictor surface (no mesh)
+    def _place_inputs(self, inputs):        # Predictor surface
+        if self._shard is not None:
+            inputs = tuple(jax.device_put(jnp.asarray(x), self._shard)
+                           for x in inputs)
         return inputs, inputs[0].shape[0]
 
     def predict_crops(self, *inputs):
-        out = self._call(*(jnp.asarray(x) for x in inputs))
+        inputs, _ = self._place_inputs(tuple(jnp.asarray(x) for x in inputs))
+        out = self._call(*inputs)
         return jax.tree_util.tree_map(np.asarray, out)
 
 

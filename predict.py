@@ -134,8 +134,9 @@ def build_parser():
                         help='shard each batch over this many local devices '
                              '(data-parallel serving, '
                              'Predictor(mesh=make_mesh(N))); batch_size is '
-                             'rounded up to a multiple of N. Checkpoint '
-                             'models only')
+                             'rounded up to a multiple of N. For a '
+                             '.jaxexport artifact the baked batch size '
+                             'must divide by N')
     return parser
 
 
@@ -549,11 +550,22 @@ def main(argv=None):
             raise SystemExit('-quantize needs a checkpoint model; a '
                              '.jaxexport artifact bakes its precision at '
                              'export time (quantize before export_artifact)')
+        art_mesh = None
         if args.mesh > 1:
-            raise SystemExit('-mesh needs a checkpoint model; a .jaxexport '
-                             'artifact bakes its partitioning at export '
-                             'time')
-        predictor = serve.ArtifactPredictor(args.model_path)
+            from pose_tpu.parallel import make_mesh
+            art_mesh = make_mesh(args.mesh)
+            n_data = art_mesh.shape['data']
+            if n_data != args.mesh:
+                raise SystemExit(
+                    f'-mesh {args.mesh} requested but only {n_data} local '
+                    f'device(s) available; rerun with -mesh {n_data} (or '
+                    'fewer)')
+        try:
+            predictor = serve.ArtifactPredictor(args.model_path,
+                                                mesh=art_mesh)
+        except ValueError as e:
+            # e.g. the baked batch size doesn't divide over the data axis
+            raise SystemExit(str(e))
         shape = predictor.in_shapes[0]
         if shape[1] != args.side_in:
             raise SystemExit(f'artifact expects side_in {shape[1]}, '

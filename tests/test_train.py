@@ -398,6 +398,52 @@ class TestDistillTeacherBN:
             new_teacher_vars['batch_stats'], old_stats)
 
 
+class TestHalfAcc:
+    def test_bf16_step_trains_and_grad_scaling_is_inert(self):
+        """The fp16 master-copy divergence pinned behaviorally (SURVEY.md §7
+        item 5; steps.py docstring): `-half_acc` runs the step in bf16 —
+        finite loss, parameters actually move — and `-grad_scaling` is
+        accepted-and-ignored (bf16 needs no loss scaling, so two values of
+        the flag produce the identical trajectory; the reference scales the
+        loss and un-scales fp32 master grads, depth_train.py:233-269)."""
+        results = []
+        for grad_scaling in (1.0, 512.0):
+            args = make_args(half_acc=True, grad_scaling=grad_scaling,
+                             extra_channel=False, skip_relu=False,
+                             early_dist=False, batch_size=2)
+            from pose_tpu.models import PoseResNet
+            model = PoseResNet(block='basic', layers=(1, 1, 1, 1),
+                               variant='rgb', in_channels=3, stride=32,
+                               num_joints=5, depth=4)
+            tx = steps.make_optimizer(args)
+            state = steps.init_state(model, args, tx,
+                                     (jnp.ones((1, 65, 65, 3)),))
+            step = steps.make_cam_train_step(model, args, 2, tx)
+            rng = np.random.RandomState(3)
+            batch = dict(
+                image=jnp.asarray(rng.randn(2, 65, 65, 3).astype(np.float32)),
+                true_cam=jnp.asarray(rng.uniform(
+                    -300, 300, (2, 5, 3)).astype(np.float32) + 2500),
+                true_val=jnp.ones((2, 5), bool))
+            p0 = jax.device_get(state.params)
+            losses_seen = []
+            for _ in range(3):
+                state, out = step(state, batch, 1e-4)
+                losses_seen.append(float(out['cam_loss']))
+            p1 = jax.device_get(state.params)
+            assert np.isfinite(losses_seen).all(), losses_seen
+            moved = jax.tree_util.tree_reduce(
+                lambda acc, ab: acc + float(np.abs(ab).sum()),
+                jax.tree_util.tree_map(lambda a, b: a - b, p0, p1), 0.0)
+            assert moved > 0.0
+            results.append((losses_seen, p1))
+        # grad_scaling changed nothing: identical losses and parameters
+        assert results[0][0] == results[1][0]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), results[0][1], results[1][1])
+
+
 class TestConvergence:
     def test_cam_step_overfits_fixed_batch(self):
         """System-level learning evidence: Adam on one fixed batch
