@@ -51,6 +51,59 @@ def _conv_path(module):
     return '/'.join(module.path)
 
 
+class Calibrator:
+    """Streaming per-conv-path input-absmax calibration.
+
+    Holds ONE jitted recording forward and a running max, so batches can be
+    fed as they arrive (e.g. the serving CLI's first N request batches)
+    without re-tracing per batch — through a remote-device transport a
+    fresh trace per batch would pay a full compile each time. Feed with
+    `update(batch)`, read `scales` when done (N-batch running-max
+    calibration; VERDICT round-3 item 5)."""
+
+    def __init__(self, apply_fn):
+        records = {}
+
+        def recorder(next_fun, args, kwargs, context):
+            if (isinstance(context.module, nn.Conv)
+                    and context.method_name == '__call__'):
+                path = _conv_path(context.module)
+                cur = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                prev = records.get(path)
+                # max over CALL SITES too: a weight-shared conv module
+                # applied twice per forward must calibrate on both inputs
+                records[path] = cur if prev is None else jnp.maximum(prev,
+                                                                     cur)
+            return next_fun(*args, **kwargs)
+
+        @jax.jit
+        def fwd(*inputs):
+            records.clear()       # per-trace recording dict; runs at trace
+            with nn.intercept_methods(recorder):  # time only, so
+                out = apply_fn(*inputs)           # same-shaped batches
+            return out, dict(records)             # reuse one compile
+
+        self._fwd = fwd
+        self._totals = {}
+        self.count = 0
+
+    def update(self, batch):
+        """Fold one input tuple into the running absmax."""
+        _, seen = self._fwd(*batch)
+        for path, val in jax.device_get(seen).items():
+            self._totals[path] = max(self._totals.get(path, 0.0),
+                                     float(val))
+        self.count += 1
+        return self
+
+    @property
+    def scales(self):
+        if not self._totals:
+            raise ValueError('calibration saw no nn.Conv calls — is the '
+                             'model a partial-conv-only variant?')
+        return dict(self._totals)
+
+
 def calibrate(apply_fn, batches):
     """Per-conv-path input absmax over calibration batches.
 
@@ -61,35 +114,10 @@ def calibrate(apply_fn, batches):
     no eager per-op dispatch (which through a remote-device transport would
     pay one round trip per op).
     """
-    records = {}
-
-    def recorder(next_fun, args, kwargs, context):
-        if (isinstance(context.module, nn.Conv)
-                and context.method_name == '__call__'):
-            path = _conv_path(context.module)
-            cur = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
-            prev = records.get(path)
-            # max over CALL SITES too: a weight-shared conv module applied
-            # twice per forward must calibrate on both inputs
-            records[path] = cur if prev is None else jnp.maximum(prev, cur)
-        return next_fun(*args, **kwargs)
-
-    @jax.jit
-    def fwd(*inputs):
-        records.clear()          # per-trace recording dict; runs at trace
-        with nn.intercept_methods(recorder):   # time only, so same-shaped
-            out = apply_fn(*inputs)            # batches reuse one compile
-        return out, dict(records)
-
-    totals = {}
+    cal = Calibrator(apply_fn)
     for batch in batches:
-        _, seen = fwd(*batch)
-        for path, val in jax.device_get(seen).items():
-            totals[path] = max(totals.get(path, 0.0), float(val))
-    if not totals:
-        raise ValueError('calibration saw no nn.Conv calls — is the model '
-                         'a partial-conv-only variant?')
-    return totals
+        cal.update(batch)
+    return cal.scales
 
 
 def quantize_kernel(kernel):

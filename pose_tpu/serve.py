@@ -192,6 +192,22 @@ class Predictor:
                                     jnp.asarray(intrinsics))
         return np.asarray(absolute)
 
+    def make_calibrator(self):
+        """Streaming N-batch calibration (quant.Calibrator): feed request
+        batches as they arrive with `cal.update(inputs)` (inputs in
+        `predict_crops` form), then switch to int8 once with
+        `quantize_with_scales(cal.scales)` — one recording compile total,
+        vs one per batch if `quantize([batch])` were called repeatedly."""
+        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
+        cast = lambda x: (x.astype(dtype)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
+        variables = {'params': jax.tree_util.tree_map(
+            lambda x: cast(jnp.asarray(x)), self.variables['params']),
+            'batch_stats': self.variables['batch_stats']}
+        apply_fn = lambda *ins: self.model.apply(
+            variables, *[cast(jnp.asarray(x)) for x in ins], train=False)
+        return quant.Calibrator(apply_fn)
+
     def quantize(self, calib_batches, skip=quant.DEFAULT_SKIP,
                  acc_dtype=jnp.int32):
         """Switch the serving forward to int8 convs (pose_tpu.quant): ~2x

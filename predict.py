@@ -126,6 +126,12 @@ def build_parser():
                              'stay bf16. Checkpoint models only — a '
                              '.jaxexport artifact bakes its precision at '
                              'export time')
+    parser.add_argument('-calib_batches', default=1, type=int,
+                        help='with -quantize: calibrate activation scales '
+                             'over the first N request batches (running '
+                             'absmax) instead of the first batch alone; '
+                             'batches inside the window serve at full '
+                             'precision, int8 starts once it closes')
     # outputs
     parser.add_argument('-out', default='predictions.json')
     parser.add_argument('-viz', help='directory for overlay PNGs')
@@ -394,7 +400,7 @@ def _warp_depth(batch, args):
 
 
 def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
-              orig_cam):
+              orig_cam, calib=None, calib_target=1):
     """Warp + forward + decode for one padded chunk; returns per-frame
     result dicts in the ORIGINAL camera/world frame (`new_cams`/`orig_cam`
     are the crop/source cameras of the stream that defines the model's
@@ -409,8 +415,16 @@ def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
     else:
         inputs = (_warp_color(cbatch, args.side_in),)
 
-    if getattr(args, 'quantize', False) and predictor._quant_scales is None:
-        predictor.quantize([inputs])    # calibrate on the first real batch
+    if (getattr(args, 'quantize', False)
+            and predictor._quant_scales is None):
+        # running-max calibration over the first -calib_batches request
+        # batches (quant.Calibrator); until the window closes the batch
+        # serves at full precision, then the predictor switches to int8
+        # once — scales saturate instead of tracking one batch's
+        # distribution
+        calib.update(inputs)
+        if calib.count >= calib_target:
+            predictor.quantize_with_scales(calib.scales)
     out = predictor.predict_crops(*inputs)
     relat = out['relat_cam']
     relat = relat - relat[:, key_index:key_index + 1]
@@ -619,6 +633,14 @@ def main(argv=None):
         return seq
 
     bs = predictor.batch_size
+    calib = calib_target = None
+    if getattr(args, 'quantize', False):
+        calib = predictor.make_calibrator()
+        calib_target = max(1, args.calib_batches)
+        if total:
+            # short streams still quantize: close the window no later than
+            # the final batch
+            calib_target = min(calib_target, -(-total // bs))
     records = []
     start = 0
     for chunk, n in chunks_of(source, bs):
@@ -653,7 +675,8 @@ def main(argv=None):
                 frames_chunk, chunk_boxes, dcam, args.side_in, dcanvas_hw)
             frame_cams, orig_cam = new_dcams, dcam
         results = run_batch(predictor, args, variant, cbatch, dbatch,
-                            key_index, frame_cams, orig_cam)
+                            key_index, frame_cams, orig_cam,
+                            calib=calib, calib_target=calib_target)
         start += n
         for (key, image, bbox, person), rec in list(zip(chunk,
                                                         results))[:n]:

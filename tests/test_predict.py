@@ -376,6 +376,28 @@ def test_quantize_flag(fixture_dir):
                       '-out', str(fixture_dir / 'out_qa.json')])
 
 
+def test_calib_batches_flag(fixture_dir):
+    """-calib_batches N widens int8 calibration over the first N request
+    batches (running absmax): with -batch_size 2 over 3 frames, batch 1
+    serves at full precision inside the window (matches the bf16 run
+    exactly) while the final batch serves int8 (differs)."""
+    base = cli(fixture_dir, 'out_cb_fp.json', ['-batch_size', '2'])
+    blob = cli(fixture_dir, 'out_cb_q.json',
+               ['-batch_size', '2', '-quantize', '-calib_batches', '2'])
+    assert len(blob['frames']) == len(base['frames']) == 3
+    # frames 0-1 (batch 1, inside the window) are the float forward
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(blob['frames'][i]['relat_cam']),
+            np.asarray(base['frames'][i]['relat_cam']), rtol=0, atol=1e-4)
+    # frame 2 (batch 2, window closed) is the int8 forward
+    got = np.asarray(blob['frames'][2]['relat_cam'])
+    ref = np.asarray(base['frames'][2]['relat_cam'])
+    assert not np.array_equal(got, ref)
+    assert np.max(np.abs(got - ref)) < 20.0
+    assert np.all(np.isfinite(got))
+
+
 def test_mesh_flag_data_parallel(fixture_dir):
     """-mesh N serves data-parallel (Predictor over make_mesh(N)): the
     3-frame stream (a ragged final chunk after batch_size rounds up to a

@@ -38,6 +38,45 @@ def test_calibrate_covers_every_conv():
     assert all(v > 0 for v in scales.values())
 
 
+def test_streaming_calibrator_matches_oneshot_and_saturates():
+    """N-batch running-max calibration (VERDICT r3 item 5): feeding batches
+    one at a time through Predictor.make_calibrator() must equal the
+    one-shot quant.calibrate over the same batches, and once the widest
+    distribution has been seen the scales are STABLE — further batches from
+    the narrower distributions change nothing (running max saturates; a
+    first-batch-only calibration would have pinned scales to whichever
+    distribution arrived first)."""
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=2)
+    # batch-to-batch distribution shift: amplitudes 0.3x / 3x / 1x
+    shifted = [crops(10) * 0.3, crops(11) * 3.0, crops(12)]
+
+    variables = p.variables
+    apply_fn = lambda *ins: p.model.apply(variables, *ins, train=False)
+    oneshot = quant.calibrate(apply_fn, [(jnp.asarray(b),) for b in shifted])
+
+    cal = p.make_calibrator()
+    partials = []
+    for b in shifted:
+        cal.update((jnp.asarray(b),))
+        partials.append(cal.scales)
+    assert cal.count == 3
+    assert set(cal.scales) == set(oneshot)
+    for path in oneshot:
+        assert cal.scales[path] == pytest.approx(oneshot[path], rel=1e-5)
+    # the wide batch (index 1) dominated: batch 3 moved nothing
+    assert partials[2] == partials[1]
+    # and the window genuinely widened scales vs first-batch-only
+    grew = [path for path in oneshot
+            if partials[1][path] > partials[0][path] * 1.5]
+    assert grew, partials[0]
+
+    # the saturated scales serve: quantize_with_scales + predict stay finite
+    p.quantize_with_scales(cal.scales)
+    out = p.predict_crops(crops(13))
+    assert np.all(np.isfinite(out['relat_cam']))
+
+
 def test_quantized_decode_tracks_bf16():
     args = small_args()
     p = Predictor(args, 'rgb', batch_size=2)
