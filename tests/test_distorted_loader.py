@@ -108,6 +108,7 @@ def test_mixed_batch_unification_is_exact(cmu_distorted, tmp_path_factory):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_main_e2e_distorted(cmu_distorted, tmp_path):
     """main.py train + val_only roundtrip over the distorted store."""
     from tests.test_e2e import run_cli, _spec_line

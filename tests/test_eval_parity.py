@@ -33,6 +33,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip('torch')
 cv2 = pytest.importorskip('cv2')
 

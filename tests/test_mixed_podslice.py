@@ -217,6 +217,7 @@ def test_partial_conv_step_on_8_device_mesh(combined):
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_spatial_partitioning_matches_dp(combined):
     """-mesh_spatial folds the mesh to (data, space); the steps constrain
     their image inputs to P('data', 'space') so GSPMD splits H over 'space'
@@ -264,6 +265,7 @@ def test_spatial_partitioning_matches_dp(combined):
     assert np.max(np.abs(p_dp - p_sp)) < 1e-5
 
 
+@pytest.mark.slow
 def test_mesh_spatial_trainer_end_to_end(tmp_path_factory):
     """-mesh_spatial 2 through the full Trainer/Loader stack: BaseTrainer
     folds the mesh to (data, space), installs the step constraint, and a

@@ -147,6 +147,24 @@ def test_artifact_bakes_quantization(tmp_path):
                                p.predict_crops(x)['relat_cam'], atol=6.0)
 
 
+def test_int8_artifact_serves_on_mesh(tmp_path):
+    """The int8-baked .jaxexport artifact composes with mesh serving: the
+    quantized graph (int8 convs as constants) partitions over the 'data'
+    axis like the float one, single-device-equal outputs."""
+    from pose_tpu.parallel import make_mesh
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=8)
+    p.quantize([crops(20, n=8)])
+    path = str(tmp_path / 'pose_int8.jaxexport')
+    p.export_artifact(path)
+    single = ArtifactPredictor(path)
+    meshed = ArtifactPredictor(path, mesh=make_mesh(8))
+    x = crops(21, n=8)
+    ref = single.predict_crops(x)['relat_cam']
+    out = meshed.predict_crops(x)['relat_cam']
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
 def test_fusion_variant_quantizes():
     args = small_args(joint_space=False)
     p = Predictor(args, 'fusion', batch_size=2)
@@ -178,6 +196,7 @@ def test_partial_variant_quantizes_plain_convs_only():
     assert np.max(np.abs(out - ref)) < 10.0
 
 
+@pytest.mark.slow
 def test_prequantized_params_match_tracetime_quantization():
     """The live Predictor path runs on prequantized int8 kernels
     (quant.prequantize_params via serve_variables) so the per-call jit
@@ -246,6 +265,7 @@ def test_prequantized_params_match_tracetime_quantization():
                if jnp.asarray(v).dtype == jnp.int8)
 
 
+@pytest.mark.slow
 def test_quantized_mpjpe_on_trained_model():
     """Accuracy where it matters: a TRAINED model. Random init is the
     pathological regime for the volumetric soft-argmax (near-uniform logits

@@ -716,6 +716,7 @@ class TestLockstepTrajectory:
         assert tail_gap < 3e-2, (tail_j, tail_t)
 
 
+@pytest.mark.slow
 class TestTwinConvergenceMPJPE:
     """The MPJPE north star for the cam family: train the SAME data to
     near-overfit in both frameworks — identical init, batch, lr,
@@ -942,6 +943,7 @@ class TestLockstepDistill:
         assert final_rel < 5e-2, final_rel
 
 
+@pytest.mark.slow
 class TestTwinConvergenceDistillMPJPE:
     """End-metric twin for the privileged-information core, run at FLOAT64:
     train the SAME student under the reference's distillation objective
@@ -1131,6 +1133,7 @@ class TestTwinConvergenceDistillMPJPE:
         assert gap < 1.0, (mpjpe_jax, mpjpe_torch)
 
 
+@pytest.mark.slow
 class TestPartialDepthF64:
     """Pin the partial-conv twin's f32 deviation (6.9e-2 worst grad, see
     docs/PARITY.md) as BACKEND drift, not a formula difference: the same
@@ -1364,6 +1367,7 @@ class TestLockstepJointTrack:
         assert final_rel < 5e-2, final_rel
 
 
+@pytest.mark.slow
 class TestLockstepF64:
     """Pin the f32 lockstep drift (basic max 1.6e-3 / bottleneck ~4e-2 at
     the steepest descent point, docs/PARITY.md) as BACKEND float32

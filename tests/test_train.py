@@ -444,6 +444,7 @@ class TestHalfAcc:
                 np.asarray(a), np.asarray(b)), results[0][1], results[1][1])
 
 
+@pytest.mark.slow
 class TestConvergence:
     def test_cam_step_overfits_fixed_batch(self):
         """System-level learning evidence: Adam on one fixed batch
@@ -485,6 +486,7 @@ class TestConvergence:
         assert history[-1] < 0.45 * history[0], history[::10]
 
 
+@pytest.mark.slow
 class TestDistillConvergence:
     def test_student_descends_both_objectives(self):
         """The privileged-information core must LEARN end-to-end: 80 Adam
