@@ -132,6 +132,12 @@ def build_parser():
                              'absmax) instead of the first batch alone; '
                              'batches inside the window serve at full '
                              'precision, int8 starts once it closes')
+    parser.add_argument('-track_ids', action='store_true',
+                        help='assign stable per-person track ids across '
+                             'frames (multi-person video): frame-to-frame '
+                             'min-cost matching on 3D skeleton centroids '
+                             'when available, bbox centers otherwise '
+                             '(pose_tpu.tools.tracking)')
     # outputs
     parser.add_argument('-out', default='predictions.json')
     parser.add_argument('-viz', help='directory for overlay PNGs')
@@ -691,6 +697,9 @@ def main(argv=None):
 
     if not records:
         raise SystemExit('the input stream yielded no frames')
+    if args.track_ids:
+        from pose_tpu.tools.tracking import assign_track_ids
+        assign_track_ids(records)
     if need_color and need_depth and start != len(dentries):
         raise SystemExit(f'{start} colour person samples vs '
                          f'{len(dentries)} in -depth_bboxes/-depth_images')

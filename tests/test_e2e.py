@@ -75,6 +75,24 @@ def test_main_train_and_val_roundtrip(cmu_fixture, tmp_path):
     assert _spec_line(out) == trained  # checkpoint roundtrip is exact
 
 
+def test_main_test_only(cmu_fixture, tmp_path):
+    """-test_only evaluates the TEST split from best.pth and exits
+    (reference main.py:24-68 + train.py:205): the SPEC line parses and —
+    the fixture's test and valid splits being different samples — differs
+    from the valid-split metrics of the same checkpoint."""
+    save = str(tmp_path / 'save')
+    flags = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                    '-metadata_path', cmu_fixture, '-save_path', save,
+                    '-shuffle', '-save_record', '-geometry', '-colour']
+    run_cli('main.py', flags)
+
+    common = BASE + ['-data_name', 'cmu', '-num_joints', '19',
+                     '-metadata_path', cmu_fixture, '-save_path', save]
+    val = _spec_line(run_cli('main.py', common + ['-val_only']))
+    test = _spec_line(run_cli('main.py', common + ['-test_only']))
+    assert test != val
+
+
 def test_main_mesh_spatial(cmu_fixture, tmp_path):
     """-mesh_spatial through the CLI acceptance surface: a (2, 2)
     (data, space) mesh on 4 virtual devices trains and evals an epoch;

@@ -376,6 +376,29 @@ def test_quantize_flag(fixture_dir):
                       '-out', str(fixture_dir / 'out_qa.json')])
 
 
+def test_track_ids_flag(fixture_dir):
+    """-track_ids threads stable person identities through a multi-person
+    stream: frame 1 lists the two boxes in swapped order, the assigned
+    track_id must follow position."""
+    left, right = [2, 4, 40, 70], [52, 6, 40, 70]
+    boxes = {'frame_0.jpg': [left, right],
+             'frame_1.jpg': [right, left],
+             'frame_2.jpg': [left, right]}
+    with open(fixture_dir / 'tboxes.json', 'w') as f:
+        json.dump(boxes, f)
+    blob = cli(fixture_dir, 'out_track.json',
+               ['-bboxes', str(fixture_dir / 'tboxes.json'), '-track_ids'])
+    assert len(blob['frames']) == 6
+    by = {(r['key'], tuple(r['bbox'])): r['track_id']
+          for r in blob['frames']}
+    assert by[('frame_0.jpg', tuple(left))] == by[
+        ('frame_1.jpg', tuple(left))] == by[('frame_2.jpg', tuple(left))]
+    assert by[('frame_0.jpg', tuple(right))] == by[
+        ('frame_1.jpg', tuple(right))] == by[('frame_2.jpg', tuple(right))]
+    assert by[('frame_0.jpg', tuple(left))] != by[
+        ('frame_0.jpg', tuple(right))]
+
+
 def test_calib_batches_flag(fixture_dir):
     """-calib_batches N widens int8 calibration over the first N request
     batches (running absmax): with -batch_size 2 over 3 frames, batch 1

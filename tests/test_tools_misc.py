@@ -250,3 +250,64 @@ def test_step_timer_windows(monkeypatch):
     timer.update(8)
     clock[0] += 0.5
     assert timer.update(8) == pytest.approx(16.0 / 1.0)
+
+
+# ----------------------------------------------------------------- tracking
+
+
+class TestTrackIds:
+    """pose_tpu.tools.tracking: stable multi-person identities across an
+    ordered record stream (predict.py -track_ids)."""
+
+    @staticmethod
+    def _rec(key, bbox, absolute=None):
+        rec = dict(key=key, bbox=list(bbox))
+        if absolute is not None:
+            rec['absolute_cam'] = absolute
+        return rec
+
+    def test_ids_follow_position_not_listing_order(self):
+        from pose_tpu.tools.tracking import assign_track_ids
+        left, right = [5, 5, 40, 60], [50, 10, 40, 60]
+        records = [
+            self._rec('f0', left), self._rec('f0', right),
+            # frame 1 lists the same two people in SWAPPED order
+            self._rec('f1', right), self._rec('f1', left),
+            self._rec('f2', left), self._rec('f2', right),
+        ]
+        assign_track_ids(records)
+        ids = [r['track_id'] for r in records]
+        assert ids[0] != ids[1]
+        assert ids == [0, 1, 1, 0, 0, 1]
+
+    def test_occlusion_gap_within_ttl_keeps_id_and_new_person_gets_new(self):
+        from pose_tpu.tools.tracking import assign_track_ids
+        a, b = [5, 5, 30, 50], [60, 10, 30, 50]
+        far = [0, 0, 30, 50]
+        records = [
+            self._rec('f0', a), self._rec('f0', b),
+            self._rec('f1', a),                      # b occluded
+            self._rec('f2', a), self._rec('f2', b),  # b reappears (age 1)
+            self._rec('f3', a), self._rec('f3', b), self._rec('f3', far),
+        ]
+        assign_track_ids(records)
+        ids = {(r['key'], tuple(r['bbox'])): r['track_id'] for r in records}
+        assert ids[('f2', tuple(b))] == ids[('f0', tuple(b))]
+        # `far` overlaps a's gate? it is a fresh detection after a and b
+        # matched -> new id
+        assert ids[('f3', tuple(far))] == 2
+
+    def test_3d_centroids_dominate_when_available(self):
+        from pose_tpu.tools.tracking import assign_track_ids
+        # identical boxes (pixel cost ties) but distinct 3D positions:
+        # the 3D gate must drive the association
+        box = [10, 10, 40, 60]
+        p0 = np.tile([0.0, 0.0, 2000.0], (5, 1)).tolist()
+        p1 = np.tile([400.0, 0.0, 2400.0], (5, 1)).tolist()
+        records = [
+            self._rec('f0', box, p0), self._rec('f0', box, p1),
+            self._rec('f1', box, p1), self._rec('f1', box, p0),
+        ]
+        assign_track_ids(records)
+        ids = [r['track_id'] for r in records]
+        assert ids == [0, 1, 1, 0]
