@@ -47,16 +47,39 @@ DEPTH_RANGE = 1000.0      # opts.py -depth_range default
 THRESH = dict(solid=50.0, close=100.0, rough=150.0)   # opts.py defaults
 
 
-def _torch_eval_record(ckpt_path, metadata_path, quantize_uint8):
-    """The reference's eval epoch (train.py:205-306) replicated in
-    cv2 + torch + numpy over the fixture's validation split."""
+def _np_deter_root(spec_mat, relat, intrinsics):
+    """numpy replica of the reference's get_deter_cam root solve
+    (utils.py:296-332): per sample, A_j = [I2 | -x~_j],
+    b_j = x~_j*z_j - xy_j, root = (A^T A)^-1 A^T b."""
+    b, j = spec_mat.shape[:2]
+    out = np.empty_like(relat)
+    for i in range(b):
+        unproject = np.linalg.inv(intrinsics[i]).T
+        ones = np.ones((j, 1), spec_mat.dtype)
+        normalized = (np.concatenate([spec_mat[i], ones], -1)
+                      @ unproject)[:, :2]
+        A = np.concatenate([np.tile(np.eye(2, dtype=relat.dtype), (j, 1)),
+                            -normalized.reshape(-1, 1)], -1)
+        rhs = (normalized * relat[i, :, 2:] - relat[i, :, :2]).reshape(-1)
+        root = np.linalg.solve(A.T @ A, A.T @ rhs)
+        out[i] = relat[i] + root
+    return out
+
+
+def _torch_eval_record(ckpt_path, metadata_path, quantize_uint8,
+                       joint_space=False):
+    """The reference's eval epoch (train.py:205-368) replicated in
+    cv2 + torch + numpy over the fixture's validation split. With
+    joint_space, also the 2D head metrics and the DETER
+    root-reconstruction record (run_test.sh's exact config)."""
     from datasets import build_info
     from pose_tpu import metrics
     from pose_tpu.data import crop, samples as sample_lib
     from pose_tpu.data.loader import condition_image, imread
     from pose_tpu.ops.colour import IMAGENET_DEV, IMAGENET_MEAN
     from pose_tpu.train.engine import back_rotate
-    from tests.test_torch_twin_steps import t_decode3d, t_heatmap3d
+    from tests.test_torch_twin_steps import (t_decode2d, t_decode3d,
+                                             t_heatmap2d, t_heatmap3d)
     from tests.test_models import TorchTrunk
 
     info = build_info('cmu')
@@ -65,6 +88,7 @@ def _torch_eval_record(ckpt_path, metadata_path, quantize_uint8):
     records = sample_lib.get_samples('cmu', metadata['root']['cmu'], 'valid')
 
     images, true_cams, valids, rots = [], [], [], []
+    true_mats, intrs = [], []
     for sample in records:
         cam = sample['camera']
         new_cam, matrices = crop.build_crop(cam, sample['bbox'], SIDE,
@@ -90,6 +114,10 @@ def _torch_eval_record(ckpt_path, metadata_path, quantize_uint8):
         true_cams.append(coords)
         valids.append(valid.astype(bool))
         rots.append(back_rot.astype(np.float32))
+        if joint_space:
+            true_mats.append(new_cam.camera_to_image(coords).astype(
+                np.float32))
+            intrs.append(new_cam.intrinsic_matrix.astype(np.float32))
 
     state = torch.load(ckpt_path, map_location='cpu',
                        weights_only=False)['model']
@@ -98,27 +126,41 @@ def _torch_eval_record(ckpt_path, metadata_path, quantize_uint8):
     # wants tensors
     state = {k: torch.as_tensor(np.asarray(v)) for k, v in state.items()}
     twin = TorchTrunk(layers=(2, 2, 2, 2), stride=STRIDE, num_joints=J,
-                      depth=DEPTH, block='basic')
+                      depth=DEPTH, block='basic', joint_space=joint_space)
     twin.load_state_dict(state)
     twin.eval()
 
     batch = torch.from_numpy(
         np.stack(images).transpose(0, 3, 1, 2).astype(np.float32))
     with torch.no_grad():
-        cam_feat = twin(batch)
+        out = twin(batch)
+        cam_feat = out[0] if joint_space else out
         relat = t_decode3d(t_heatmap3d(cam_feat, DEPTH, J), DEPTH_RANGE)
+        if joint_space:
+            spec_mat = t_decode2d(t_heatmap2d(out[1], J), SIDE).numpy()
     relat = relat.numpy()
     key = info.key_index
     true_cam = np.stack(true_cams)
+    valid = np.stack(valids)
     relat = relat - relat[:, key:key + 1]
     spec = relat + true_cam[:, key:key + 1]
 
     rot = np.stack(rots)
     spec_w = back_rotate(rot, spec)
     true_w = back_rotate(rot, true_cam)
-    stats = [metrics.analyze(spec_w, true_w, np.stack(valids), info.mirror,
-                             THRESH)]
-    return metrics.parse_epoch(stats)
+    rec = metrics.parse_epoch([metrics.analyze(spec_w, true_w, valid,
+                                               info.mirror, THRESH)])
+    if joint_space:
+        rec.update(metrics.parse_epoch_mat([metrics.analyze_mat(
+            spec_mat, np.stack(true_mats), valid, SIDE)]))
+        deter = _np_deter_root(spec_mat.astype(np.float64),
+                               relat.astype(np.float64),
+                               np.stack(intrs).astype(np.float64))
+        deter_w = back_rotate(rot, deter.astype(np.float32))
+        det = metrics.parse_epoch([metrics.analyze(deter_w, true_w, valid,
+                                                   info.mirror, THRESH)])
+        rec.update({'recon_' + k: v for k, v in det.items()})
+    return rec
 
 
 def test_same_weights_eval_parity(cmu_fixture, tmp_path):
@@ -155,3 +197,46 @@ def test_same_weights_eval_parity(cmu_fixture, tmp_path):
     print(f'uint8-rounded replica: cam_mean={rec_u8["cam_mean"]:.3f} '
           f'gap={gap_u8 * 1000:.1f} um')
     assert gap_u8 < 1.0, (cam_mean, rec_u8['cam_mean'])
+
+
+def test_same_weights_eval_parity_joint_track(cmu_fixture, tmp_path):
+    """run_test.sh's EXACT eval config (-val_only -joint_space -do_track,
+    run_test.sh:5-20): same-weights parity over all three printed records
+    — [SPEC] (3D), the 2D head (mat_mean/oks) and the [DETER]
+    root-reconstruction line (train.py:307-368)."""
+    import re
+    save = str(tmp_path / 'save')
+    joint = ['-joint_space', '-do_track']
+    flags = BASE + joint + ['-data_name', 'cmu', '-num_joints', '19',
+                            '-metadata_path', cmu_fixture,
+                            '-save_path', save, '-shuffle', '-save_record',
+                            '-geometry', '-colour']
+    run_cli('main.py', flags)
+    ckpt = os.path.join(save, 'resnet18-e2e', 'model_1.pth')
+
+    val_flags = BASE + joint + ['-data_name', 'cmu', '-num_joints', '19',
+                                '-metadata_path', cmu_fixture,
+                                '-save_path', save, '-val_only',
+                                '-strict_eval']
+    out = run_cli('main.py', val_flags)
+    cam_mean, pck, auc = (float(v) for v in _spec_line(out))
+    mat_mean, oks = (float(v) for v in re.findall(
+        r'=> mat_mean: ([\d.]+)\s+\[oks\]: ([\d.]+)', out)[-1])
+    det_mean = float(re.findall(
+        r'=>\[DETER\] cam_mean: ([\d.]+)', out)[-1])
+
+    rec = _torch_eval_record(ckpt, cmu_fixture, quantize_uint8=False,
+                             joint_space=True)
+    print(f'\njoint/track eval parity: cam {cam_mean:.3f}/'
+          f"{rec['cam_mean']:.3f}  mat {mat_mean:.3f}/{rec['mat_mean']:.3f}"
+          f"  oks {oks:.4f}/{rec['score_oks']:.4f}  deter {det_mean:.3f}/"
+          f"{rec['recon_cam_mean']:.3f}")
+    assert abs(rec['cam_mean'] - cam_mean) < 0.1
+    assert abs(rec['score_pck'] - pck) < 2e-3
+    assert abs(rec['score_auc'] - auc) < 2e-3
+    # 2D head: mat_mean is pixels on a 65-px side — 0.01 px
+    assert abs(rec['mat_mean'] - mat_mean) < 0.01
+    assert abs(rec['score_oks'] - oks) < 2e-3
+    # DETER inverts a per-sample normal system — the most
+    # conditioning-sensitive record; 0.1 mm like SPEC
+    assert abs(rec['recon_cam_mean'] - det_mean) < 0.1
