@@ -37,6 +37,7 @@ def make_state(args):
     return model, tx, state
 
 
+@pytest.mark.slow
 def test_orbax_full_state_roundtrip(tmp_path):
     args = small_args(tmp_path)
     model, tx, state = make_state(args)

@@ -147,6 +147,7 @@ def test_artifact_bakes_quantization(tmp_path):
                                p.predict_crops(x)['relat_cam'], atol=6.0)
 
 
+@pytest.mark.slow
 def test_int8_artifact_serves_on_mesh(tmp_path):
     """The int8-baked .jaxexport artifact composes with mesh serving: the
     quantized graph (int8 convs as constants) partitions over the 'data'

@@ -254,6 +254,7 @@ class TestMeshServing:
         out = meshed.predict_crops(crops)['relat_cam']
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-2)
 
+    @pytest.mark.slow
     def test_artifact_serves_on_mesh(self, tmp_path):
         """A .jaxexport artifact composes with mesh serving (VERDICT r3
         item 4): the deserialized StableHLO jits with 'data' in_shardings

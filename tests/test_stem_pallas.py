@@ -5,6 +5,8 @@ replaces — bit-exact in interpret mode across sides and channel counts
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
