@@ -219,20 +219,11 @@ class Predictor:
         Returns the calibrated {conv_path: absmax} so deployments can
         persist it (quant.save_scales / load_scales) and re-apply with
         `quantize_with_scales` instead of re-calibrating."""
-        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
-        cast = lambda x: (x.astype(dtype)
-                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
-        batches = [tuple(cast(jnp.asarray(x)) for x in
-                         (b if isinstance(b, (tuple, list)) else (b,)))
-                   for b in calib_batches]
-        variables = {'params': jax.tree_util.tree_map(
-            lambda x: cast(jnp.asarray(x)), self.variables['params']),
-            'batch_stats': self.variables['batch_stats']}
-        scales = quant.calibrate(
-            lambda *ins: self.model.apply(variables, *ins, train=False),
-            batches)
-        self.quantize_with_scales(scales, skip, acc_dtype)
-        return scales
+        cal = self.make_calibrator()
+        for b in calib_batches:
+            cal.update(b if isinstance(b, (tuple, list)) else (b,))
+        self.quantize_with_scales(cal.scales, skip, acc_dtype)
+        return cal.scales
 
     def quantize_with_scales(self, scales, skip=quant.DEFAULT_SKIP,
                              acc_dtype=jnp.int32):

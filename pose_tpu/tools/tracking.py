@@ -54,9 +54,12 @@ def _match(cost):
     pairs = []
     try:
         from scipy.optimize import linear_sum_assignment
+    except ImportError:
+        linear_sum_assignment = None
+    if linear_sum_assignment is not None:
         rows, cols = linear_sum_assignment(cost)
         pairs = [(r, c) for r, c in zip(rows, cols) if cost[r, c] < _BIG]
-    except Exception:
+    else:
         cost = cost.copy()
         while True:
             r, c = np.unravel_index(np.argmin(cost), cost.shape)

@@ -130,8 +130,10 @@ def build_parser():
                         help='with -quantize: calibrate activation scales '
                              'over the first N request batches (running '
                              'absmax) instead of the first batch alone; '
-                             'batches inside the window serve at full '
-                             'precision, int8 starts once it closes')
+                             'batches 1..N-1 serve at full precision, int8 '
+                             'starts WITH batch N (which also calibrates). '
+                             'For -video streams shorter than N, nothing '
+                             'quantizes (a warning is printed)')
     parser.add_argument('-track_ids', action='store_true',
                         help='assign stable per-person track ids across '
                              'frames (multi-person video): frame-to-frame '
@@ -405,6 +407,22 @@ def _warp_depth(batch, args):
         mxu_warp=True)
 
 
+def _make_mesh_or_die(n):
+    """-mesh N -> a data mesh over N local devices, or None for N<=1.
+    make_mesh clamps to the available devices; serving with fewer shards
+    than requested should be loud, not silent."""
+    if n <= 1:
+        return None
+    from pose_tpu.parallel import make_mesh
+    mesh = make_mesh(n)
+    n_data = mesh.shape['data']
+    if n_data != n:
+        raise SystemExit(
+            f'-mesh {n} requested but only {n_data} local device(s) '
+            f'available; rerun with -mesh {n_data} (or fewer)')
+    return mesh
+
+
 def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
               orig_cam, calib=None, calib_target=1):
     """Warp + forward + decode for one padded chunk; returns per-frame
@@ -421,12 +439,12 @@ def run_batch(predictor, args, variant, cbatch, dbatch, key_index, new_cams,
     else:
         inputs = (_warp_color(cbatch, args.side_in),)
 
-    if (getattr(args, 'quantize', False)
+    if (getattr(args, 'quantize', False) and calib is not None
             and predictor._quant_scales is None):
         # running-max calibration over the first -calib_batches request
-        # batches (quant.Calibrator); until the window closes the batch
-        # serves at full precision, then the predictor switches to int8
-        # once — scales saturate instead of tracking one batch's
+        # batches (quant.Calibrator): batches before the closing one serve
+        # at full precision; the closing batch calibrates AND is the first
+        # served int8 — scales saturate instead of tracking one batch's
         # distribution
         calib.update(inputs)
         if calib.count >= calib_target:
@@ -570,16 +588,7 @@ def main(argv=None):
             raise SystemExit('-quantize needs a checkpoint model; a '
                              '.jaxexport artifact bakes its precision at '
                              'export time (quantize before export_artifact)')
-        art_mesh = None
-        if args.mesh > 1:
-            from pose_tpu.parallel import make_mesh
-            art_mesh = make_mesh(args.mesh)
-            n_data = art_mesh.shape['data']
-            if n_data != args.mesh:
-                raise SystemExit(
-                    f'-mesh {args.mesh} requested but only {n_data} local '
-                    f'device(s) available; rerun with -mesh {n_data} (or '
-                    'fewer)')
+        art_mesh = _make_mesh_or_die(args.mesh)
         try:
             predictor = serve.ArtifactPredictor(args.model_path,
                                                 mesh=art_mesh)
@@ -614,20 +623,10 @@ def main(argv=None):
             depth_range=args.depth_range, joint_space=args.joint_space,
             extra_channel=args.extra_channel, half_acc=args.half_acc,
             depth_only=args.depth_only)
-        mesh = None
         bs = max(1, min(args.batch_size, total or args.batch_size))
-        if args.mesh > 1:
-            from pose_tpu.parallel import make_mesh
-            mesh = make_mesh(args.mesh)
-            n_data = mesh.shape['data']
-            if n_data != args.mesh:
-                # make_mesh clamps to the available devices; serving with
-                # fewer shards than requested should be loud, not silent.
-                raise SystemExit(
-                    f'-mesh {args.mesh} requested but only {n_data} local '
-                    f'device(s) available; rerun with -mesh {n_data} (or '
-                    'fewer)')
-            bs = -(-bs // n_data) * n_data   # divide over 'data'
+        mesh = _make_mesh_or_die(args.mesh)
+        if mesh is not None:
+            bs = -(-bs // mesh.shape['data']) * mesh.shape['data']
         predictor = serve.Predictor.from_checkpoint(
             args.model_path, pargs, variant=variant, batch_size=bs,
             mesh=mesh)
@@ -683,6 +682,10 @@ def main(argv=None):
         results = run_batch(predictor, args, variant, cbatch, dbatch,
                             key_index, frame_cams, orig_cam,
                             calib=calib, calib_target=calib_target)
+        if calib is not None and predictor._quant_scales is not None:
+            # window closed: the calibrator's recording jit + cast weight
+            # copy would otherwise sit in device memory for the whole run
+            calib = None
         start += n
         for (key, image, bbox, person), rec in list(zip(chunk,
                                                         results))[:n]:
@@ -697,6 +700,13 @@ def main(argv=None):
 
     if not records:
         raise SystemExit('the input stream yielded no frames')
+    if calib is not None and predictor._quant_scales is None:
+        # only reachable with -video (unknown total, so the window can't be
+        # pre-clamped): the clip ended inside the calibration window
+        print(f'[predict] WARNING: -quantize never activated — the stream '
+              f'ended after {calib.count} batch(es), inside the '
+              f'-calib_batches {args.calib_batches} window; every batch '
+              'served at full precision', file=sys.stderr)
     if args.track_ids:
         from pose_tpu.tools.tracking import assign_track_ids
         assign_track_ids(records)

@@ -211,16 +211,25 @@ def test_fusion_two_streams(fixture_dir):
     assert np.all(np.isfinite(np.asarray(blob['frames'][0]['relat_cam'])))
 
 
-def test_artifact_model_path(fixture_dir):
+@pytest.fixture(scope='module')
+def artifact3(fixture_dir):
+    """Batch-3 joint-space .jaxexport, exported once on demand — tests
+    that need it must take THIS fixture, not assume another test ran
+    first (execution-order coupling)."""
+    from pose_tpu import serve
+    path = fixture_dir / 'pose.jaxexport'
+    if not path.exists():
+        args = serve.default_args(joint_space=True, **ARGS)
+        p = serve.Predictor.from_checkpoint(
+            str(fixture_dir / 'model_1.pth'), args, batch_size=3)
+        p.export_artifact(str(path))
+    return str(path)
+
+
+def test_artifact_model_path(fixture_dir, artifact3):
     """A .jaxexport deployment artifact drives the CLI with no checkpoint;
     outputs match the .pth run bit-for-tolerance."""
-    import jax
-    from pose_tpu import serve
-    args = serve.default_args(joint_space=True, **ARGS)
-    p = serve.Predictor.from_checkpoint(
-        str(fixture_dir / 'model_1.pth'), args, batch_size=3)
-    artifact = str(fixture_dir / 'pose.jaxexport')
-    p.export_artifact(artifact)
+    artifact = artifact3
 
     base = cli(fixture_dir, 'out_pth.json', [])
     argv = ['-model_path', artifact,
@@ -355,7 +364,7 @@ def test_zero_distortion_is_pinhole(tmp_path):
     assert cam.distortion_coeffs is None
 
 
-def test_quantize_flag(fixture_dir):
+def test_quantize_flag(fixture_dir, artifact3):
     """-quantize serves int8 convs calibrated on the first batch; outputs
     stay within the quantization tolerance of the bf16 run, and the flag
     is rejected for .jaxexport artifacts (precision bakes at export)."""
@@ -371,7 +380,7 @@ def test_quantize_flag(fixture_dir):
         assert delta < 20.0, delta
         assert not np.array_equal(got['relat_cam'], ref['relat_cam'])
     with pytest.raises(SystemExit):
-        predict.main(['-model_path', str(fixture_dir / 'pose.jaxexport'),
+        predict.main(['-model_path', artifact3,
                       '-side_in', '65', '-stride', '32', '-depth', '4',
                       '-num_joints', '19', '-joint_space', '-quantize',
                       '-images', str(fixture_dir / 'frame_*.jpg'),
@@ -423,7 +432,7 @@ def test_calib_batches_flag(fixture_dir):
     assert np.all(np.isfinite(got))
 
 
-def test_mesh_flag_data_parallel(fixture_dir):
+def test_mesh_flag_data_parallel(fixture_dir, artifact3):
     """-mesh N serves data-parallel (Predictor over make_mesh(N)): the
     3-frame stream (a ragged final chunk after batch_size rounds up to a
     mesh multiple) must reproduce the single-device run exactly. A
@@ -442,7 +451,7 @@ def test_mesh_flag_data_parallel(fixture_dir):
                                    np.asarray(ref['absolute_cam']),
                                    rtol=0, atol=1e-3)
     with pytest.raises(SystemExit, match='divide over'):
-        predict.main(['-model_path', str(fixture_dir / 'pose.jaxexport'),
+        predict.main(['-model_path', artifact3,
                       '-side_in', '65', '-stride', '32', '-depth', '4',
                       '-num_joints', '19', '-joint_space', '-mesh', '2',
                       '-images', str(fixture_dir / 'frame_*.jpg'),
