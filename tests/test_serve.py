@@ -94,6 +94,26 @@ class TestArtifactPredictor:
                 rtol=1e-4, atol=1e-2)
 
 
+def test_fusion_artifact_two_streams(tmp_path):
+    """export_artifact/ArtifactPredictor for the two-input fusion variant:
+    both streams bake into one artifact (in_shapes carries both), and the
+    imported call matches the source predictor."""
+    from pose_tpu.serve import ArtifactPredictor
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'fusion', batch_size=2)
+    path = str(tmp_path / 'fusion.jaxexport')
+    p.export_artifact(path)
+
+    ap = ArtifactPredictor(path)
+    assert ap.in_shapes == ((2, 65, 65, 3), (2, 65, 65, 1))
+    rng = np.random.RandomState(9)
+    color = rng.rand(2, 65, 65, 3).astype(np.float32)
+    depth = rng.rand(2, 65, 65, 1).astype(np.float32)
+    np.testing.assert_allclose(
+        ap.predict_crops(color, depth)['relat_cam'],
+        p.predict_crops(color, depth)['relat_cam'], rtol=1e-4, atol=1e-2)
+
+
 class TestBatchingServer:
     def test_single_and_burst_requests(self):
         from pose_tpu.serve import BatchingServer
