@@ -348,16 +348,31 @@ class ArtifactPredictor:
         del variables                       # Predictor._compiled signature
         return self._call(*inputs)
 
-    def _place_inputs(self, inputs):        # Predictor surface
+    def _place_inputs(self, inputs):
+        """Predictor surface: edge-pad a ragged batch up to the artifact's
+        BAKED batch size (the exported program has exactly one shape) and
+        report the real row count; larger batches are a loud error. With a
+        mesh, also shard over 'data'."""
+        b = inputs[0].shape[0]
+        if b > self.batch_size:
+            raise ValueError(
+                f'batch of {b} rows exceeds the artifact\'s baked batch '
+                f'size {self.batch_size} — chunk requests (or re-export '
+                'with a larger batch_size)')
+        if b < self.batch_size:
+            inputs = tuple(jnp.concatenate(
+                [x, jnp.repeat(x[-1:], self.batch_size - b, axis=0)])
+                for x in inputs)
         if self._shard is not None:
             inputs = tuple(jax.device_put(jnp.asarray(x), self._shard)
                            for x in inputs)
-        return inputs, inputs[0].shape[0]
+        return inputs, b
 
     def predict_crops(self, *inputs):
-        inputs, _ = self._place_inputs(tuple(jnp.asarray(x) for x in inputs))
+        inputs, b = self._place_inputs(tuple(jnp.asarray(x)
+                                             for x in inputs))
         out = self._call(*inputs)
-        return jax.tree_util.tree_map(np.asarray, out)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:b], out)
 
 
 class BatchingServer:

@@ -94,6 +94,25 @@ class TestArtifactPredictor:
                 rtol=1e-4, atol=1e-2)
 
 
+def test_artifact_ragged_batch_pads_and_slices(tmp_path):
+    """ArtifactPredictor pads a short batch up to the artifact's baked
+    batch size and slices the padding back off (Predictor symmetry);
+    batches larger than the baked size fail loudly."""
+    from pose_tpu.serve import ArtifactPredictor
+    args = small_args(joint_space=False)
+    p = Predictor(args, 'rgb', batch_size=4)
+    path = str(tmp_path / 'pose_b4.jaxexport')
+    p.export_artifact(path)
+    ap = ArtifactPredictor(path)
+    crops = np.random.RandomState(13).rand(3, 65, 65, 3).astype(np.float32)
+    out = ap.predict_crops(crops)['relat_cam']
+    assert out.shape == (3, 5, 3)
+    np.testing.assert_allclose(out, p.predict_crops(crops)['relat_cam'],
+                               rtol=1e-4, atol=1e-2)
+    with pytest.raises(ValueError, match='baked batch'):
+        ap.predict_crops(np.zeros((5, 65, 65, 3), np.float32))
+
+
 def test_fusion_artifact_two_streams(tmp_path):
     """export_artifact/ArtifactPredictor for the two-input fusion variant:
     both streams bake into one artifact (in_shapes carries both), and the
