@@ -136,13 +136,15 @@ def main():
         state, out = run_once(state, i)
     float(out['cam_loss'])
 
-    # three fetch-synced windows, report the max (CLAUDE.md timing rule:
+    # five fetch-synced windows, report the max (CLAUDE.md timing rule:
     # early windows can be polluted by transport queue effects). Measured
     # in-process spread across 6 such windows on chip: 1210.7-1213.4 img/s
-    # = 0.22% (docs/ROUND3_NOTES.md), so max-of-3 is a stable capture; the
-    # remaining run-to-run variance is process-level transport state.
+    # = 0.22% (docs/ROUND3_NOTES.md), so max-of-N is a stable capture; the
+    # remaining run-to-run variance is process-level transport state, and
+    # extra windows (~4 s each, compile cached) buy downside insurance
+    # against a transiently congested relay during any single window.
     ips = 0.0
-    for w, n_steps in enumerate((40, 40, 40)):
+    for w, n_steps in enumerate((40, 40, 40, 40, 40)):
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, out = run_once(state, 100 + 1000 * w + i)

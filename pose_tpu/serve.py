@@ -395,6 +395,11 @@ class BatchingServer:
         self.max_delay = max_delay_ms / 1000.0
         self._queue = queue_lib.Queue(maxsize=queue_size)
         self._stopping = False
+        # guards the (check _stopping, enqueue) pair in submit() against
+        # stop(): without it a submit could land its item BEHIND the stop
+        # sentinel, the worker would exit first, and that request's future
+        # would never resolve (caller hangs forever on fut.result())
+        self._lock = threading.Lock()
         self.served = 0
         self.batches = 0
         predictor.aot_compile()
@@ -404,19 +409,23 @@ class BatchingServer:
     def submit(self, crop):
         """Enqueue one crop; returns a Future resolving to the predictor's
         output dict with the batch dimension stripped."""
-        if self._stopping:
-            raise RuntimeError('server is stopped')
-        fut = Future()
-        self._queue.put((np.asarray(crop), fut))
-        return fut
+        item = (np.asarray(crop), Future())
+        with self._lock:
+            if self._stopping:
+                raise RuntimeError('server is stopped')
+            self._queue.put(item)
+        return item[1]
 
     def predict(self, crop, timeout=None):
         """Blocking single-request convenience wrapper."""
         return self.submit(crop).result(timeout)
 
     def stop(self):
-        self._stopping = True
-        self._queue.put(None)
+        with self._lock:
+            if self._stopping:        # idempotent (context-manager + manual)
+                return
+            self._stopping = True
+            self._queue.put(None)
         self._thread.join()
 
     def __enter__(self):

@@ -222,11 +222,14 @@ def _frame_boxes(key, image, idx, spec, flag):
         else:
             val = spec[idx]
     boxes = np.asarray(val, np.float32)
+    if boxes.size == 0:         # [] = a frame where nothing was detected
+        return []
     if boxes.ndim == 1:
         boxes = boxes[None]
-    if boxes.ndim != 2 or boxes.shape[1] != 4 or not len(boxes):
+    if boxes.ndim != 2 or boxes.shape[1] != 4:
         raise SystemExit(f'{flag} entry for frame {idx} ({key}) must be '
-                         '[x, y, w, h] or a non-empty list of them')
+                         '[x, y, w, h] or a list of them ([] = no '
+                         'detections in that frame)')
     return list(boxes)
 
 
@@ -506,6 +509,11 @@ def main(argv=None):
     variant = resolve_variant(args)
     need_color = not args.depth_only
     need_depth = args.depth_only or variant in ('fusion', 'partial_fusion')
+    if args.do_fusion and args.depth_only:
+        # depth_main.py:77 asserts the same pair; without this, run_batch's
+        # fusion branch would hit _warp_color(None, ...) -> opaque TypeError
+        raise SystemExit('-do_fusion models consume BOTH streams; '
+                         '-depth_only contradicts it')
     if args.joint_space and variant != 'rgb':
         raise SystemExit('-joint_space is an RGB-model head; depth-family '
                          'checkpoints have no 2D branch')
@@ -699,7 +707,8 @@ def main(argv=None):
                          args.skeleton)
 
     if not records:
-        raise SystemExit('the input stream yielded no frames')
+        raise SystemExit('the input stream yielded no person samples '
+                         '(no frames, or every bbox entry was empty)')
     if calib is not None and predictor._quant_scales is None:
         # only reachable with -video (unknown total, so the window can't be
         # pre-clamped): the clip ended inside the calibration window

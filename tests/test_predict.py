@@ -342,6 +342,35 @@ def test_input_validation(fixture_dir):
     with pytest.raises(SystemExit):   # depth-enhance flags never read
         predict.main(['-model_path', 'x.pth', '-nexponent',
                       '-images', str(fixture_dir / 'frame_*.jpg')])
+    # fusion consumes BOTH streams; -depth_only contradicts it — must fail
+    # at flag-check time (depth_main.py asserts the same pair), not as a
+    # TypeError deep inside run_batch's colour warp
+    with pytest.raises(SystemExit, match='BOTH streams'):
+        predict.main(['-model_path', 'x.pth', '-do_fusion', '-depth_only',
+                      '-depth_images', str(fixture_dir / 'depth_*.png')])
+
+
+def test_empty_bbox_entry_means_zero_detections(fixture_dir):
+    """A frame whose bbox entry is [] yields NO person samples for that
+    frame (the detector found nobody) instead of a hard error — previously
+    unrepresentable, forcing users to fabricate dummy boxes that then
+    polluted -track_ids association."""
+    boxes = {'frame_0.jpg': [[10, 5, 60, 70]],
+             'frame_1.jpg': [],
+             'frame_2.jpg': [[12, 6, 58, 68], [2, 2, 30, 30]]}
+    with open(fixture_dir / 'boxes_gap.json', 'w') as f:
+        json.dump(boxes, f)
+    blob = cli(fixture_dir, 'out_gap.json',
+               ['-bboxes', str(fixture_dir / 'boxes_gap.json')])
+    keys = [(rec['key'], rec['person']) for rec in blob['frames']]
+    assert keys == [('frame_0.jpg', 0), ('frame_2.jpg', 0),
+                    ('frame_2.jpg', 1)]
+    # an ALL-empty spec still fails loudly (nothing to predict)
+    with open(fixture_dir / 'boxes_all_empty.json', 'w') as f:
+        json.dump({f'frame_{i}.jpg': [] for i in range(3)}, f)
+    with pytest.raises(SystemExit, match='no person samples'):
+        cli(fixture_dir, 'out_all_empty.json',
+            ['-bboxes', str(fixture_dir / 'boxes_all_empty.json')])
 
 
 def test_box_list_longer_than_stream(fixture_dir):

@@ -202,8 +202,40 @@ class TestBatchingServer:
         p = Predictor(args, 'rgb', batch_size=2)
         server = BatchingServer(p, max_delay_ms=1.0)
         server.stop()
+        server.stop()                   # idempotent (manual + __exit__)
         with pytest.raises(RuntimeError):
             server.submit(np.zeros((65, 65, 3), np.float32))
+
+    def test_stop_submit_race_never_orphans_futures(self):
+        """submit() racing stop(): every submit must either raise (server
+        stopped) or return a future that RESOLVES — an item enqueued behind
+        the stop sentinel would hang its caller forever on fut.result()."""
+        import threading
+        import time
+        from pose_tpu.serve import BatchingServer
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=2)
+        crop = np.zeros((65, 65, 3), np.float32)
+        for _ in range(5):              # several races per predictor compile
+            server = BatchingServer(p, max_delay_ms=1.0)
+            futs, rejected = [], []
+
+            def client():
+                try:
+                    while True:
+                        futs.append(server.submit(crop))
+                        time.sleep(0.0002)    # bound the drain backlog
+                except RuntimeError:
+                    rejected.append(True)
+
+            t = threading.Thread(target=client)
+            t.start()
+            time.sleep(0.02)
+            server.stop()
+            t.join(timeout=60)
+            assert rejected             # the loop ended via the stop check
+            for f in futs:              # none orphaned behind the sentinel
+                assert f.result(timeout=60) is not None
 
 
 def test_malformed_request_resolves_not_wedges():

@@ -176,6 +176,39 @@ def test_depth_prefetch_grayscale(small_video):
     np.testing.assert_array_equal(got[1][:, ::-1], flipped[1])
 
 
+def test_prefetch_releases_capture(small_video, monkeypatch):
+    """The VideoCapture must be released both on normal exhaustion and when
+    the consumer abandons the generator mid-stream (e.g. a SystemExit inside
+    predict.py's chunk loop) — otherwise the fd leaks for the process life."""
+    from pose_tpu.tools import video
+    path, _ = small_video
+    released = []
+    real = video.cv2.VideoCapture
+
+    class Recording:
+        def __init__(self, p):
+            self._cap = real(p)
+
+        def isOpened(self):
+            return self._cap.isOpened()
+
+        def read(self):
+            return self._cap.read()
+
+        def release(self):
+            released.append(True)
+            self._cap.release()
+
+    monkeypatch.setattr(video.cv2, 'VideoCapture', Recording)
+
+    list(video.prefetch(path))                   # exhaustion
+    assert len(released) == 1
+    gen = video.depth_prefetch(path)             # abandonment mid-stream
+    next(gen)
+    gen.close()
+    assert len(released) == 2
+
+
 # ---------------------------------------------------------------- detector
 
 
