@@ -301,11 +301,7 @@ class PoseLoader:
                     image = image[..., 0]
                 image = image[..., None].astype(np.float32)
             else:
-                if image.ndim == 2:
-                    image = image[..., None].repeat(3, axis=-1)
-                image = image[..., :3]
-                if image.dtype != np.uint8:
-                    image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+                image = condition_image(image)
             cv, ext, pre = crop.pad_to_canvas(image, canvas_hw)
             canvases.append(cv)
             extents.append(ext)
@@ -412,10 +408,9 @@ class PoseLoader:
             meta.append((true_n, off))
         return local_batches, meta
 
-    def _finalize(self, batch, i_batch, true_n=None, offset=0):
-        batch, true_n = self._pad_to_mesh(batch, true_n, offset)
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
+    def _pop_host_extras(self, batch, true_n):
+        """Pull host-side (never-sharded) per-batch arrays out of the batch
+        before device dispatch."""
         host_extras = {}
         for k in ('back_rotation',):
             if k in batch:
@@ -424,7 +419,12 @@ class PoseLoader:
                 # processes for the engine's process_allgather); the engine
                 # trims the gathered global array to _true_size
                 host_extras[k] = v if jax.process_count() > 1 else v[:true_n]
+        return host_extras
 
+    def _colour_stream(self, batch, key):
+        """Colour canvases -> augmented crops, shared by the RGB and depth
+        loaders: the distorted-source general lookup, the occluder
+        compositing path, or the gated split/MXU/gather warp."""
         if 'partial_homography' in batch:
             # distorted-source batch: general per-pixel lookup
             device = shard_batch(self.mesh, {
@@ -433,31 +433,35 @@ class PoseLoader:
                 'old_k': batch.pop('old_intrinsics'),
                 'dist': batch.pop('dist_coeffs'),
                 'extent': batch.pop('extent')})
-            image = augment.process_color_batch_general(
+            return augment.process_color_batch_general(
                 device['canvas'], device['partial'], device['old_k'],
                 device['dist'], device['extent'], key, self.side_in,
                 self.colour, self.eraser,
                 occ_bank=self._occ_bank)
-        else:
-            host_homs = batch['homography']
-            device = shard_batch(self.mesh, {
-                'canvas': batch.pop('canvas'),
-                'homography': batch.pop('homography'),
-                'extent': batch.pop('extent')})
-            if self._occ_bank is not None:
-                sprites, alphas, shapes = self._occ_bank
-                image = augment.process_color_batch_occluded(
-                    device['canvas'], device['homography'], device['extent'],
-                    key, sprites, alphas, shapes, self.side_in, self.colour,
-                    self.eraser)
-            else:
-                # train uses the configured resampler (default: MXU two-pass);
-                # eval defaults to the gather path for strict cv2 parity
-                impl = self._gated_impl(host_homs)
-                image = augment.process_color_batch(
-                    device['canvas'], device['homography'], device['extent'],
-                    key, self.side_in, self.colour, self.eraser,
-                    warp_impl=impl)
+        host_homs = batch['homography']
+        device = shard_batch(self.mesh, {
+            'canvas': batch.pop('canvas'),
+            'homography': batch.pop('homography'),
+            'extent': batch.pop('extent')})
+        if self._occ_bank is not None:
+            sprites, alphas, shapes = self._occ_bank
+            return augment.process_color_batch_occluded(
+                device['canvas'], device['homography'], device['extent'],
+                key, sprites, alphas, shapes, self.side_in, self.colour,
+                self.eraser)
+        # train uses the configured resampler (default: MXU two-pass);
+        # eval defaults to the gather path for strict cv2 parity
+        return augment.process_color_batch(
+            device['canvas'], device['homography'], device['extent'],
+            key, self.side_in, self.colour, self.eraser,
+            warp_impl=self._gated_impl(host_homs))
+
+    def _finalize(self, batch, i_batch, true_n=None, offset=0):
+        batch, true_n = self._pad_to_mesh(batch, true_n, offset)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
+        host_extras = self._pop_host_extras(batch, true_n)
+        image = self._colour_stream(batch, key)
 
         if 'bbox_quad' in batch:
             quads = shard_batch(self.mesh, batch.pop('bbox_quad'))
@@ -705,9 +709,11 @@ class DepthPoseLoader(PoseLoader):
                    true_cam=camera_coords, true_val=valid.astype(bool))
         out.update(matrices)
         if decode:
-            image = imread(sample['image'])
-            if image.dtype != np.uint8:
-                image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            # same conditioning as PoseLoader.parse_sample / _decode_images:
+            # grayscale replicated, alpha stripped, floats rescaled — NOT
+            # just the dtype fix, or a gray/RGBA colour frame breaks the
+            # fixed HxWx3 colour pipeline only on this path
+            image = condition_image(imread(sample['image']))
             canvas, extent, prescale = crop.pad_to_canvas(image, self.canvas)
             out['canvas'] = canvas
             out['extent'] = extent
@@ -738,45 +744,8 @@ class DepthPoseLoader(PoseLoader):
         batch, true_n = self._pad_to_mesh(batch, true_n, offset)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919 * self.epoch), i_batch)
-        host_extras = {}
-        for k in ('back_rotation',):
-            if k in batch:
-                v = batch.pop(k)
-                # multi-process: keep every local row (equal shapes across
-                # processes for the engine's process_allgather); the engine
-                # trims the gathered global array to _true_size
-                host_extras[k] = v if jax.process_count() > 1 else v[:true_n]
-
-        if 'partial_homography' in batch:
-            color_dev = shard_batch(self.mesh, {
-                'canvas': batch.pop('canvas'),
-                'partial': batch.pop('partial_homography'),
-                'old_k': batch.pop('old_intrinsics'),
-                'dist': batch.pop('dist_coeffs'),
-                'extent': batch.pop('extent')})
-            color = augment.process_color_batch_general(
-                color_dev['canvas'], color_dev['partial'],
-                color_dev['old_k'], color_dev['dist'], color_dev['extent'],
-                key, self.side_in, self.colour, self.eraser,
-                occ_bank=self._occ_bank)
-        else:
-            host_homs = batch['homography']
-            color_dev = shard_batch(self.mesh, {
-                'canvas': batch.pop('canvas'),
-                'homography': batch.pop('homography'),
-                'extent': batch.pop('extent')})
-            if self._occ_bank is not None:
-                sprites, alphas, shapes = self._occ_bank
-                color = augment.process_color_batch_occluded(
-                    color_dev['canvas'], color_dev['homography'],
-                    color_dev['extent'], key, sprites, alphas, shapes,
-                    self.side_in, self.colour, self.eraser)
-            else:
-                color = augment.process_color_batch(
-                    color_dev['canvas'], color_dev['homography'],
-                    color_dev['extent'], key, self.side_in, self.colour,
-                    self.eraser,
-                    warp_impl=self._gated_impl(host_homs))
+        host_extras = self._pop_host_extras(batch, true_n)
+        color = self._colour_stream(batch, key)
 
         host_depth_homs = batch['depth_homography']
         depth_dev = shard_batch(self.mesh, {

@@ -64,6 +64,37 @@ def test_pose_parse_batch_matches_per_sample_distorted(cmu_distorted):
               'true_cam'])
 
 
+def test_depth_parse_sample_conditions_gray_and_rgba(tmp_path_factory):
+    """DepthPoseLoader.parse_sample's decode path must apply the same image
+    conditioning as the batched _decode_images path (grayscale replicated to
+    3 channels, alpha stripped, PNG floats rescaled) — it previously fixed
+    only the dtype, so a gray/RGBA colour frame broke the fixed HxWx3 colour
+    pipeline on the per-sample path alone."""
+    from PIL import Image
+    from pose_tpu.data.synthetic import make_ntu_fixture
+    from pose_tpu.data.loader import (DepthPoseLoader, condition_image,
+                                      imread)
+    from depth_main import get_info
+    root = tmp_path_factory.mktemp('ntu_gray')
+    meta = make_ntu_fixture(str(root), num_train=8, num_valid=4)
+    args = make_args(meta, data_name='ntu', num_joints=17, do_teach=False,
+                     attention=False, nexponent=False, to_depth=False,
+                     semi_teach=False)
+    loader = DepthPoseLoader(args, 'train', get_info())
+    rng = np.random.RandomState(0)
+    sample = dict(loader.samples[0])
+    for arr in (rng.randint(0, 255, (40, 48), dtype=np.uint8),      # gray
+                rng.randint(0, 255, (40, 48, 4), dtype=np.uint8)):  # RGBA
+        path = str(root / f'odd_{arr.ndim}.png')
+        Image.fromarray(arr).save(path)
+        sample['image'] = path
+        out = loader.parse_sample(sample, 0, decode=True)
+        canvas = out['canvas']
+        assert canvas.shape[-1] == 3 and canvas.dtype == np.uint8
+        want = condition_image(imread(path))
+        np.testing.assert_array_equal(canvas[:40, :48], want)
+
+
 def test_depth_parse_batch_matches_per_sample(tmp_path_factory):
     from pose_tpu.data.synthetic import make_ntu_fixture
     from pose_tpu.data.loader import DepthPoseLoader
