@@ -81,7 +81,6 @@ def main():
     # backend use; only process 0 keeps the reference console/checkpoint IO
     from pose_tpu.parallel import init_distributed, is_main_process
     if init_distributed(args) and not is_main_process():
-        import os
         import sys
         sys.stdout = open(os.devnull, 'w')
 

@@ -44,7 +44,9 @@ def make_detector(kind='auto'):
     if kind in ('auto', 'yolo'):
         try:
             return YoloDetector()
-        except ImportError:
+        except Exception:
+            # 'auto' falls back whether pyyolo is missing (ImportError) or
+            # its cfg/weights files are (FileNotFoundError / pyyolo errors)
             if kind == 'yolo':
                 raise
     return ProjectedBoxDetector()
