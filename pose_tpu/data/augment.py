@@ -185,17 +185,22 @@ def process_depth_batch(canvases, homographies, extents, k_invs, thresh,
     the legacy mxu_warp bool maps to 'mxu'/'gather' when it is None."""
     if warp_impl is None:
         warp_impl = 'mxu' if mxu_warp else 'gather'
+    # the matmul warps' bf16 TPU default is exact for uint8-valued COLOUR
+    # sources only; raw-depth canvases are genuine floats, and bf16 would
+    # quantize them to 8 significant bits (~0.2% of range — mm-scale on the
+    # privileged depth input, where the reference's cv2 warp is f32-exact)
+    f32 = jnp.float32
     if warp_impl in ('split', 'split_mxu'):
         crops = warp.warp_batch_split(
             canvases, homographies, (side_in, side_in), extents,
-            stage_b='pallas' if warp_impl == 'split' else 'mxu')
+            stage_b='pallas' if warp_impl == 'split' else 'mxu', wdtype=f32)
     elif warp_impl == 'pallas_banded':
         from ..ops.warp_pallas import warp_batch_pallas_banded
         crops = warp_batch_pallas_banded(canvases, homographies, extents,
                                          (side_in, side_in))
     elif warp_impl == 'mxu':
         crops = warp.warp_batch_mxu(canvases, homographies,
-                                    (side_in, side_in), extents)
+                                    (side_in, side_in), extents, wdtype=f32)
     else:
         crops = warp.warp_batch(canvases, homographies, (side_in, side_in),
                                 extents)

@@ -134,8 +134,12 @@ class PoseLoader:
         # (294 -> 921 img/s at bs64/512², docs/ROUND2_NOTES.md item 8) at a
         # measured 0.17 mm cam_mean delta on a 469 mm metric. On TPU the
         # fast path is the default; `-strict_eval` (or the env var) opts
-        # back into bit-exact gather. Off-TPU gather stays the default: the
-        # speed motive is TPU-only and the CPU test suite pins cv2 parity.
+        # back into the gather path: coordinate-exact vs cv2 (identical
+        # lookup locus) with float interpolation — cv2's uint8 output
+        # rounding is the one remaining deviation, measured at 22.6 um
+        # cam_mean (tests/test_eval_parity.py). Off-TPU gather stays the
+        # default: the speed motive is TPU-only and the CPU test suite pins
+        # cv2 parity.
         default_impl = 'split' if jax.default_backend() == 'tpu' else 'mxu'
         self.warp_impl = os.environ.get('POSE_TPU_WARP', default_impl)
         default_eval = ('gather' if (getattr(args, 'strict_eval', False)

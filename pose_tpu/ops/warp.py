@@ -217,35 +217,54 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     return out.transpose(0, 2, 1)                      # (v, u, c)
 
 
-@functools.partial(jax.jit, static_argnames=('out_shape', 'chunk'))
-def warp_batch_mxu(images, homographies, out_shape, extents=None, chunk=8):
+@functools.partial(jax.jit, static_argnames=('out_shape', 'chunk', 'wdtype'))
+def warp_batch_mxu(images, homographies, out_shape, extents=None, chunk=8,
+                   wdtype=None):
     """MXU-friendly batched perspective warp (see _warp_single_mxu).
 
     Processes the batch in chunks of `chunk` samples to bound the transient
     HBM footprint of the per-sample weight matrices
     (~out_h*src_h*src_w*2 bytes each in bf16).
+
+    wdtype overrides the weight/source dot dtype: the bf16 TPU default is
+    exact for uint8-valued colour sources but quantizes float sources
+    (raw depth) to 8 significant bits — pass jnp.float32 for those.
     """
     b = images.shape[0]
     if extents is None:
         extents = jnp.tile(jnp.asarray(images.shape[1:3], jnp.int32), (b, 1))
 
-    # bf16 weight matrices ride the MXU on TPU; XLA:CPU cannot execute an
-    # unfused bf16 dot (tests run the same code on host), so f32 there
-    wdtype = jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
+    if wdtype is None:
+        # bf16 weight matrices ride the MXU on TPU; XLA:CPU cannot execute
+        # an unfused bf16 dot (tests run the same code on host), so f32 there
+        wdtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                  else jnp.float32)
 
     def one_chunk(args):
         imgs, homs, exts = args
         return jax.vmap(lambda im, hg, ex: _warp_single_mxu(
             im, hg, out_shape, ex, wdtype))(imgs, homs, exts)
 
-    if b % chunk != 0 or b == chunk:
+    if b <= chunk:
         return one_chunk((images, homographies, extents))
-
-    imgs = images.reshape((b // chunk, chunk) + images.shape[1:])
-    homs = homographies.reshape(b // chunk, chunk, 3, 3)
-    exts = extents.reshape(b // chunk, chunk, 2)
+    pad = (-b) % chunk
+    if pad:
+        # pad ragged batches to a chunk multiple by repeating the last
+        # sample rather than abandoning chunking: one unchunked pass over a
+        # large ragged batch materializes every per-sample weight tensor at
+        # once (~13.5 GB at b=100, 257x512^2) and OOMs HBM
+        images = jnp.concatenate(
+            [images, jnp.repeat(images[-1:], pad, axis=0)])
+        homographies = jnp.concatenate(
+            [homographies, jnp.repeat(homographies[-1:], pad, axis=0)])
+        extents = jnp.concatenate(
+            [extents, jnp.repeat(extents[-1:], pad, axis=0)])
+    bp = b + pad
+    imgs = images.reshape((bp // chunk, chunk) + images.shape[1:])
+    homs = homographies.reshape(bp // chunk, chunk, 3, 3)
+    exts = extents.reshape(bp // chunk, chunk, 2)
     out = jax.lax.map(one_chunk, (imgs, homs, exts))
-    return out.reshape((b,) + out.shape[2:])
+    return out.reshape((bp,) + out.shape[2:])[:b]
 
 
 def decompose_homography(homographies, out_shape, m, xp=jnp):
@@ -268,7 +287,14 @@ def decompose_homography(homographies, out_shape, m, xp=jnp):
         [[0.0, 0.0, 1.0], [out_w - 1.0, 0.0, 1.0],
          [0.0, out_h - 1.0, 1.0], [out_w - 1.0, out_h - 1.0, 1.0]],
         dtype=xp.float32)
-    p = xp.einsum('...ij,cj->...ci', h, corners)
+    # HIGHEST: on TPU the default einsum precision drops these 3x3 dots to
+    # bf16, and the -lo/step terms (~hundreds) in ainv would amplify that
+    # rounding to ~px-scale translation drift in the residual — the image
+    # would be warped through a slightly different homography than the one
+    # the host builds the labels from (CPU tests can't see this: XLA:CPU
+    # runs f32 either way). Same rule as recon.py / area_downscale.
+    kw = {} if xp is np else dict(precision=jax.lax.Precision.HIGHEST)
+    p = xp.einsum('...ij,cj->...ci', h, corners, **kw)
     xy = p[..., :2] / p[..., 2:3]
     lo = xp.min(xy, axis=-2) - 1.0                     # (..., 2) x, y
     hi = xp.max(xy, axis=-2) + 1.0
@@ -280,7 +306,7 @@ def decompose_homography(homographies, out_shape, m, xp=jnp):
         xp.stack([1.0 / step[..., 0], zeros, -lo[..., 0] / step[..., 0]], -1),
         xp.stack([zeros, 1.0 / step[..., 1], -lo[..., 1] / step[..., 1]], -1),
         xp.stack([zeros, zeros, ones], -1)], -2)
-    residual = xp.einsum('...ij,...jk->...ik', ainv, h)
+    residual = xp.einsum('...ij,...jk->...ik', ainv, h, **kw)
     scale = xp.stack([
         xp.stack([step[..., 1], lo[..., 1]], -1),      # y: (step, start)
         xp.stack([step[..., 0], lo[..., 0]], -1)], -2) # x
@@ -384,10 +410,10 @@ def split_band_ok(homographies, out_shape, m=None, band=None):
 
 @functools.partial(jax.jit, static_argnames=('out_shape', 'm', 'band',
                                              'interpret', 'stage_b',
-                                             'planar_out'))
+                                             'planar_out', 'wdtype'))
 def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
                      band=None, interpret=False, stage_b='pallas',
-                     planar_out=False):
+                     planar_out=False, wdtype=None):
     """Two-stage batched perspective warp: per-image axis-aligned MXU
     prescale onto an (m, m) intermediate, then the near-identity residual
     homography via the banded Pallas kernel (stage_b='pallas') or the
@@ -414,7 +440,10 @@ def warp_batch_split(images, homographies, out_shape, extents=None, m=None,
     if extents is None:
         extents = jnp.tile(jnp.asarray(images.shape[1:3], jnp.int32), (b, 1))
     on_tpu = jax.default_backend() == 'tpu'
-    wdtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if wdtype is None:
+        # bf16 is exact for uint8-valued colour sources; float sources
+        # (raw depth) pass wdtype=jnp.float32 to keep their mantissa
+        wdtype = jnp.bfloat16 if on_tpu else jnp.float32
     if stage_b == 'pallas' and not on_tpu and not interpret:
         stage_b = 'mxu'   # Pallas compiles for TPU only; hosts get the
                           # numerically-identical matmul stage B
@@ -459,9 +488,10 @@ def antialias_factor(homography, out_shape):
     center = np.array([out_shape[1] / 2, out_shape[0] / 2, 1.0])
     down = center + [0, 1, 0]
     right = center + [1, 0, 0]
-    pts = np.stack([center, down, right], axis=0) @ homography.T
-    pts = pts[:, :2] / pts[:, 2:]
-    center_src, down_src, right_src = pts
+    # the reference norms the RAW homogeneous 3-vectors — no perspective
+    # division (cameralib.py:676-681); replicate that, w-component and all
+    center_src, down_src, right_src = (
+        np.stack([center, down, right], axis=0) @ homography.T)
     y_factor = min(1 / np.linalg.norm(center_src - down_src) * 1.5, 1)
     x_factor = min(1 / np.linalg.norm(center_src - right_src) * 1.5, 1)
     return float(np.sqrt(y_factor * x_factor))

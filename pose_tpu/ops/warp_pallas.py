@@ -313,8 +313,19 @@ def band_ok_v2(homographies, src_hw, out_hw, band=32):
     for hh in h:
         xm = src_w // 2
         vm = out_h // 2
-        slope = (y_at(hh, 8.0, xm) - y_at(hh, 0.0, xm)) / 8.0
-        slope2 = (x_at(hh, 8.0, vm) - x_at(hh, 0.0, vm)) / 8.0
+        # in-tile slope at BOTH ends of the sweep: under perspective the
+        # derivative grows ~1/w^2 toward one edge, so a near-edge-only
+        # estimate can under-cover far tiles (weight silently drops when
+        # the band misses taps) — take the max (np.maximum: NaN-propagating,
+        # unlike builtin max)
+        slope = np.maximum(
+            abs(y_at(hh, 8.0, xm) - y_at(hh, 0.0, xm)),
+            abs(y_at(hh, out_h - 1.0, xm)
+                - y_at(hh, out_h - 9.0, xm))) / 8.0
+        slope2 = np.maximum(
+            abs(x_at(hh, 8.0, vm) - x_at(hh, 0.0, vm)),
+            abs(x_at(hh, out_w - 1.0, vm)
+                - x_at(hh, out_w - 9.0, vm))) / 8.0
         if not (np.isfinite(slope) and np.isfinite(slope2)):
             return False
         for vf in (0.0, out_h / 2, out_h - 1.0):

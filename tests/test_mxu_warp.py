@@ -78,6 +78,27 @@ def test_chunked_batch():
         np.testing.assert_allclose(out[i], single, atol=1e-3)
 
 
+def test_ragged_batch_stays_chunked():
+    """A batch that doesn't divide by `chunk` must still produce per-sample
+    results (padded to a chunk multiple internally, NOT processed as one
+    giant unchunked pass — that materializes every per-sample weight tensor
+    at once and OOMs HBM on real canvas sizes)."""
+    rng = np.random.RandomState(5)
+    imgs = rng.uniform(0, 1, (10, 48, 48, 3)).astype(np.float32)
+    homs = np.tile(np.eye(3, dtype=np.float32), (10, 1, 1))
+    homs[:, 0, 0] = rng.uniform(0.8, 1.5, 10)
+    homs[:, 1, 2] = rng.uniform(-4, 4, 10)
+    out = np.asarray(warp.warp_batch_mxu(jnp.asarray(imgs),
+                                         jnp.asarray(homs), (32, 32),
+                                         chunk=4))
+    assert out.shape == (10, 32, 32, 3)
+    for i in (0, 3, 4, 9):
+        single = np.asarray(warp.warp_batch_mxu(
+            jnp.asarray(imgs[i:i + 1]), jnp.asarray(homs[i:i + 1]),
+            (32, 32)))[0]
+        np.testing.assert_allclose(out[i], single, atol=1e-3)
+
+
 def test_degenerate_homography_zero():
     """w == 0 lookups map to the border constant: the output must be the
     all-zero border fill (cv2.remap semantics), not merely finite."""

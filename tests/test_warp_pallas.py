@@ -85,3 +85,23 @@ def test_band_ok_rejects_rotation():
     c, s = np.cos(0.8), np.sin(0.8)
     hom = np.array([[c, -s, 50], [s, c, -30], [0, 0, 1]], np.float32)[None]
     assert not band_ok_v2(hom, (384, 384), (257, 257), band=32)
+
+
+def test_band_ok_sees_far_edge_slope():
+    """The in-tile slope margin is estimated at BOTH ends of the output
+    sweep (under perspective dY/dv grows ~1/w^2 toward one edge, so a
+    near-edge-only estimate under-covers far tiles — a passed gate with a
+    violated band silently drops warp weight). Pin: a hom whose far-edge
+    slope blows the band is rejected, while the same hom without the
+    perspective row passes."""
+    from pose_tpu.ops.warp_pallas import band_ok_v2
+    out_h = 257
+    # w(v) = 1 + h21*v shrinks to 0.5 at v=out_h-1: far-edge dY/dv ~ 4x
+    # the near-edge estimate (1.13 vs 4.33, measured)
+    h21 = -0.5 / (out_h - 1.0)
+    hom = np.array([[1.0, 0, 60], [0, 1.0, 60], [0, h21, 1]],
+                   np.float64)[None]
+    assert not band_ok_v2(hom, (640, 640), (out_h, out_h), band=16)
+    benign = np.array([[1.0, 0, 60], [0, 1.0, 60], [0, 0, 1]],
+                      np.float64)[None]
+    assert band_ok_v2(benign, (640, 640), (out_h, out_h), band=16)
