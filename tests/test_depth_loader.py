@@ -113,3 +113,38 @@ def test_gated_impl_uses_depth_canvas_shape():
         assert impl == 'pallas_banded'
         impl = PoseLoader._gated_impl(self_like, homs)
     assert calls == [(424, 512), (512, 512)]
+
+
+def test_depth_warp_keeps_f32_sources(monkeypatch):
+    """The depth stream must pass wdtype=f32 into the matmul/split warps:
+    their bf16 TPU default is exact only for uint8-valued colour sources —
+    raw depth would be quantized to 8 significant bits (~8 mm at uint16-mm
+    scale) where the reference's cv2 warp is f32-exact. Pinned via kwarg
+    capture so a future dispatch change can't silently drop the override."""
+    import jax.numpy as jnp
+    from pose_tpu.data import augment
+    from pose_tpu.ops import warp
+
+    seen = {}
+    real_split, real_mxu = warp.warp_batch_split, warp.warp_batch_mxu
+
+    def spy_split(*a, **k):
+        seen['split'] = k.get('wdtype')
+        return real_split(*a, **k)
+
+    def spy_mxu(*a, **k):
+        seen['mxu'] = k.get('wdtype')
+        return real_mxu(*a, **k)
+
+    monkeypatch.setattr(warp, 'warp_batch_split', spy_split)
+    monkeypatch.setattr(warp, 'warp_batch_mxu', spy_mxu)
+    canv = jnp.full((2, 48, 48, 1), 0.05, jnp.float32)
+    homs = jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1))
+    exts = jnp.tile(jnp.asarray([48, 48], jnp.int32), (2, 1))
+    kinv = jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1))
+    thr = jnp.full((2,), 0.1, jnp.float32)
+    # __wrapped__ bypasses the jit cache so the spies always fire
+    for impl in ('split_mxu', 'mxu'):
+        augment.process_depth_batch.__wrapped__(
+            canv, homs, exts, kinv, thr, 32, False, False, warp_impl=impl)
+    assert seen == {'split': jnp.float32, 'mxu': jnp.float32}
