@@ -8,13 +8,19 @@ import numpy as np
 
 
 def random_color(image):
-    """Brightness/contrast/hue/saturation jitter on one float [0,1] image,
-    returned on the uint8 lattice like the reference's final truncation."""
+    """Brightness/contrast/hue/saturation jitter on one 3-channel RGB image
+    in [0, 256) — the reference's contract (augment_colour.py:48-58) —
+    returning uint8 [0, 255] like its final `(dest * 255).astype(uint8)`.
+    (The on-device chain works in [0,1]; this shim owns the scaling so a
+    1:1-ported caller's uint8 image is not silently clipped to white.)"""
     import jax
     import jax.numpy as jnp
 
     from pose_tpu.ops import colour
 
     key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
-    return np.asarray(colour.random_color(
-        jnp.asarray(np.asarray(image, np.float32)), key))
+    out = colour.random_color(
+        jnp.asarray(np.asarray(image, np.float32) / 255.0), key)
+    # the device chain already floor-quantizes to the k/255 lattice, so
+    # nearest-int recovers the reference's truncation result exactly
+    return np.rint(np.asarray(out) * 255.0).astype(np.uint8)

@@ -18,7 +18,9 @@ def fetch_occluders(occ_idx, occ_path):
 
 def random_occlu(image, occ_count, occ_path):
     """Paste one randomly-scaled sprite at a uniform-random center
-    (augment_occluder.py:68-81); sampling runs through the device op."""
+    (augment_occluder.py:68-81); sampling runs through the device op.
+    Reference contract: RGB image in [0, 256), uint8 [0, 255] out (the
+    device op works in [0,1]; the shim owns the scaling)."""
     import jax
     import jax.numpy as jnp
 
@@ -27,20 +29,22 @@ def random_occlu(image, occ_count, occ_path):
     sprites, alphas, shapes = occ_ops.load_occluder_bank(occ_path, occ_count)
     key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
     out = occ_ops.random_occlu(
-        jnp.asarray(np.asarray(image, np.float32)), key,
+        jnp.asarray(np.asarray(image, np.float32) / 255.0), key,
         jnp.asarray(sprites), jnp.asarray(alphas), jnp.asarray(shapes))
-    return np.asarray(out)
+    return np.clip(np.rint(np.asarray(out) * 255.0), 0, 255).astype(np.uint8)
 
 
 def random_erase(image):
     """Fill a random rectangle (10-25% area, aspect 0.4-2.5) with a random
-    colour (augment_occluder.py:84-105). Returns a new array (the reference
-    mutates in place; jnp arrays are immutable)."""
+    colour (augment_occluder.py:84-105). Reference contract: [0, 256) in,
+    uint8 out; returns a new array (the reference mutates in place; jnp
+    arrays are immutable)."""
     import jax
     import jax.numpy as jnp
 
     from pose_tpu.ops import occluder as occ_ops
 
     key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
-    return np.asarray(occ_ops.random_erase(
-        jnp.asarray(np.asarray(image, np.float32)), key))
+    out = occ_ops.random_erase(
+        jnp.asarray(np.asarray(image, np.float32) / 255.0), key)
+    return np.clip(np.rint(np.asarray(out) * 255.0), 0, 255).astype(np.uint8)

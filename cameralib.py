@@ -38,8 +38,27 @@ def reproject_image(image, old_camera, new_camera, output_imshape,
         image = image[..., None]
     orig_dtype = image.dtype
     img = image.astype(np.float32)
-    if new_camera.distortion_coeffs is None and (
-            old_camera.distortion_coeffs is not None):
+    for c in (old_camera, new_camera):
+        if (c.distortion_coeffs is not None
+                and len(c.distortion_coeffs) > 5):
+            raise NotImplementedError(
+                'only the 5-coefficient (k1 k2 p1 p2 k3) distortion model '
+                'is implemented (every reference corpus uses <= 5); got '
+                f'{len(c.distortion_coeffs)} coefficients')
+    if new_camera.distortion_coeffs is not None:
+        # general path (distorted TARGET camera, reference
+        # cameralib.py:408-433): per-pixel reproject of the output grid
+        # new->old (undistort -> rotate -> redistort), one bilinear gather.
+        # Without this branch a distorted target silently fell through to
+        # the pure-homography warp — geometrically wrong output, no error.
+        yy, xx = np.mgrid[:output_imshape[0], :output_imshape[1]]
+        dst_pts = np.stack([xx, yy], -1).reshape(-1, 2).astype(np.float64)
+        src = reproject_points(dst_pts, new_camera, old_camera)
+        coords = np.asarray(src, np.float32).reshape(
+            output_imshape[0], output_imshape[1], 2)
+        out = np.asarray(warp.bilinear_sample(jnp.asarray(img),
+                                              jnp.asarray(coords)))
+    elif old_camera.distortion_coeffs is not None:
         partial = (old_camera.R @ np.linalg.inv(new_camera.R)
                    @ np.linalg.inv(new_camera.intrinsic_matrix)).astype(np.float32)
         dist = np.zeros(5, np.float32)

@@ -26,8 +26,14 @@ from bench import realistic_homs  # noqa: E402
 B, CANVAS, SIDE = 128, 512, 257
 
 rng = np.random.RandomState(0)
-# kinect-like raw depth after /65535: metres-scale values in [0.012, 0.15]
-canv = rng.uniform(0.012, 0.15, (B, CANVAS, CANVAS, 1)).astype(np.float32)
+# kinect-like raw depth after /65535: piecewise-smooth metres-scale values
+# (smooth surface + depth steps at object boundaries; NOT per-pixel noise,
+# which would make resampling-semantic differences dominate the comparison)
+yy, xx = np.mgrid[:CANVAS, :CANVAS].astype(np.float32)
+base = 0.045 + 0.02 * np.sin(xx / 97.0) + 0.015 * np.cos(yy / 61.0)
+steps = 0.03 * (np.sin(xx / 301.0 + yy / 211.0) > 0.3)
+canv = np.broadcast_to((base + steps)[None, :, :, None],
+                       (B, CANVAS, CANVAS, 1)).astype(np.float32).copy()
 homs = realistic_homs(rng, B, CANVAS, SIDE)
 exts = np.tile([CANVAS, CANVAS], (B, 1)).astype(np.int32)
 
@@ -35,13 +41,13 @@ dc = jnp.asarray(canv)
 dh = jnp.asarray(homs)
 de = jnp.asarray(exts)
 
-ref = np.asarray(warp.warp_batch(dc, dh, (SIDE, SIDE), de))
+outs = {}
 
 
 def run(wdtype, label):
     out = warp.warp_batch_split(dc, dh, (SIDE, SIDE), de, stage_b='pallas',
                                 wdtype=wdtype)
-    err = float(np.abs(np.asarray(out) - ref).max())
+    outs[label] = np.asarray(out)
     for _ in range(3):
         out = warp.warp_batch_split(dc, dh, (SIDE, SIDE), de,
                                     stage_b='pallas', wdtype=wdtype)
@@ -54,10 +60,14 @@ def run(wdtype, label):
                                         stage_b='pallas', wdtype=wdtype)
         float(out[0, 0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / 30)
-    print(f'{label}: {best * 1e3:.3f} ms/batch   '
-          f'max|err| vs f32 gather = {err:.2e} '
-          f'(= {err * 65535:.2f} mm at uint16-mm raw-depth scale)')
+    print(f'{label}: {best * 1e3:.3f} ms/batch')
 
 
 run(jnp.bfloat16, 'wdtype=bf16 (old)')
 run(jnp.float32, 'wdtype=f32  (new)')
+# the dtype-induced quantization, same sampling semantic on both sides
+d = np.abs(outs['wdtype=bf16 (old)'] - outs['wdtype=f32  (new)'])
+print(f'bf16-vs-f32 split-warp delta: max {d.max():.2e} '
+      f'mean {d.mean():.2e} '
+      f'(= {d.max() * 65535:.1f} / {d.mean() * 65535:.2f} mm at '
+      f'uint16-mm raw-depth scale)')

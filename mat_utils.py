@@ -64,8 +64,6 @@ def decode(heatmap, map_range):
 def rand_rotate(center, image, points, max_radian):
     """Rotate an image + points about a center by a random angle
     (mat_utils.py:120-140), cv2-free."""
-    from pose_tpu.geometry.rotations import _rot_z
-
     radian = np.random.uniform(-max_radian, max_radian)
     c = np.cos(radian)
     s = np.sin(radian)

@@ -235,6 +235,54 @@ def test_reproject_image_antialias_prescale():
     assert np.abs(out[2:-2, 2:-2] - golden[2:-2, 2:-2]).max() < 0.02
 
 
+def test_reproject_image_distorted_target():
+    """Warping INTO a distorted camera must route through the general
+    undistort->redistort per-pixel path (reference cameralib.py:408-433) —
+    it previously fell through to the pure-homography branch (geometrically
+    wrong, no error). Golden: cv2.undistortPoints(P=K_old) lookup coords +
+    cv2.remap."""
+    import cv2
+    import cameralib
+
+    K_old = np.array([[120., 0, 64], [0, 120., 48], [0, 0, 1]])
+    K_new = np.array([[100., 0, 60], [0, 100., 44], [0, 0, 1]])
+    dist = np.array([-0.2, 0.05, 0.001, -0.001, 0.0])
+    old = cameralib.Camera([0, 0, 0], np.eye(3), K_old, None)
+    new = cameralib.Camera([0, 0, 0], np.eye(3), K_new, dist)
+    yy, xx = np.mgrid[:96, :128].astype(np.float32)
+    img = np.stack([np.sin(xx / 7.0) * 0.4 + 0.5,
+                    np.cos(yy / 5.0) * 0.4 + 0.5,
+                    (xx + yy) / 224.0], -1).astype(np.float32)
+
+    out = cameralib.reproject_image(img, old, new, (96, 128))
+
+    pts = np.stack([xx, yy], -1).reshape(-1, 1, 2).astype(np.float64)
+    src = cv2.undistortPoints(pts, K_new, dist, P=K_old).astype(
+        np.float32).reshape(96, 128, 2)
+    golden = cv2.remap(img, src[..., 0], src[..., 1], cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    assert np.abs(out[4:-4, 4:-4] - golden[4:-4, 4:-4]).max() < 0.02
+    # and it is genuinely different from the pinhole-homography warp
+    pinhole = cameralib.Camera([0, 0, 0], np.eye(3), K_new, None)
+    hom_out = cameralib.reproject_image(img, old, pinhole, (96, 128))
+    assert np.abs(out[4:-4, 4:-4] - hom_out[4:-4, 4:-4]).max() > 0.05
+
+
+def test_reproject_image_rejects_rational_model():
+    """>5 distortion coefficients (cv2's 8/12/14-term rational models) are
+    not implemented on the warp path: loud NotImplementedError instead of a
+    broadcast crash."""
+    import cameralib
+    K = np.array([[100., 0, 16], [0, 100., 16], [0, 0, 1]])
+    cam8 = cameralib.Camera([0, 0, 0], np.eye(3), K, np.zeros(8) + 0.01)
+    pin = cameralib.Camera([0, 0, 0], np.eye(3), K, None)
+    img = np.zeros((32, 32, 3), np.float32)
+    with pytest.raises(NotImplementedError, match='5-coefficient'):
+        cameralib.reproject_image(img, cam8, pin, (32, 32))
+    with pytest.raises(NotImplementedError, match='5-coefficient'):
+        cameralib.reproject_image(img, pin, cam8, (32, 32))
+
+
 def test_cmu_split_reference_path_layout():
     """Reference-built CMU stores carry no 'sequence' key; the split must
     recover the sequence from the reference's download layout
@@ -260,13 +308,19 @@ def test_augment_shims_surface(tmp_path):
     import augment_occluder
 
     rng = np.random.RandomState(0)
-    img = rng.rand(32, 32, 3).astype(np.float32)
+    # the reference contract is [0, 256) in, uint8 [0, 255] out
+    # (augment_colour.py:48-58, augment_occluder.py:84-105)
+    img = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
     out = augment_colour.random_color(img)
-    assert out.shape == img.shape and out.min() >= 0 and out.max() <= 1
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # mid-range jitter, not clipped-to-white (the old [0,1] convention bug)
+    assert 20 < out.mean() < 235
 
     erased = augment_occluder.random_erase(img)
-    assert erased.shape == img.shape
-    assert np.abs(erased - img).max() > 0.01   # a rectangle was filled
+    assert erased.shape == img.shape and erased.dtype == np.uint8
+    diff = erased.astype(int) - img.astype(int)
+    assert np.abs(diff).max() > 2              # a rectangle was filled
+    assert (diff != 0).mean() < 0.5            # ...but most pixels kept
 
     np.save(tmp_path / 'occluder_0.npy',
             (rng.rand(20, 16, 3) * 255).astype(np.uint8))
@@ -274,7 +328,8 @@ def test_augment_shims_surface(tmp_path):
     occ, mask = augment_occluder.fetch_occluders(0, str(tmp_path))
     assert occ.shape == (20, 16, 3) and mask.shape == (20, 16)
     pasted = augment_occluder.random_occlu(img, 1, str(tmp_path))
-    assert pasted.shape == img.shape
+    assert pasted.shape == img.shape and pasted.dtype == np.uint8
+    assert pasted.mean() > 20                  # not silently near-black
 
 
 def test_image_loader_decode_crop_ratio(tmp_path):

@@ -41,13 +41,14 @@ def get_attention(side_in, stride, image_coords, attention):
 
 
 def to_depth(image, depth_cam):
-    """Kinect raw -> ray-length-corrected depth (utils.py:68-75)."""
-    coord_u, coord_v = np.meshgrid(range(image.shape[1]),
-                                   range(image.shape[0]))
-    coords = np.stack([coord_u, coord_v], axis=-1).reshape(-1, 2)
-    unprojection = depth_cam.image_to_camera(coords).reshape(
-        image.shape[0], image.shape[1], -1)
-    return image / np.sqrt(np.sum(unprojection ** 2, axis=-1) + 1)
+    """Kinect raw -> ray-length-corrected depth (utils.py:68-75): divide
+    each pixel by the norm of its homogeneous camera ray (|K^-1 [u,v,1]|
+    extended with the implicit z=1 term)."""
+    h, w = image.shape[:2]
+    pix = np.stack(np.meshgrid(np.arange(w), np.arange(h)), axis=-1)
+    rays = depth_cam.image_to_camera(pix.reshape(-1, 2))
+    norms = np.sqrt((rays ** 2).sum(axis=-1) + 1.0).reshape(h, w)
+    return image / norms
 
 
 def to_bbox(det):
@@ -75,13 +76,13 @@ def decode(heatmap, depth_range):
 
 
 def least_square(A, b, weight):
-    """Weighted least squares (reference utils.py:279-293): solve
-    (A^T W A) x = A^T W b with per-constraint weights tiled over the two
-    image-coordinate rows."""
-    weight = np.tile(weight.reshape(-1, 1) ** 0.5, (1, 2))
-    A = A * weight.reshape(-1, 1)
-    b = b * weight.reshape(-1)
-    return np.linalg.solve(np.dot(A.T, A), np.dot(A.T, b))
+    """Weighted least squares (reference utils.py:279-293): x minimizing
+    ||W^(1/2) (A x - b)||, where each per-joint weight covers that joint's
+    pair of image-coordinate rows."""
+    w = np.repeat(np.sqrt(np.asarray(weight).reshape(-1)), 2)
+    Aw = A * w[:, None]
+    bw = b * w
+    return np.linalg.solve(Aw.T @ Aw, Aw.T @ bw)
 
 
 from builtins import zip as xzip  # noqa: E402,F401  (reference utils.py:12)
