@@ -85,11 +85,23 @@ def coord_to_scale(true_mat, valid):
 
 
 def analyze_mat(spec_mat, true_mat, valid_mask, side_in):
-    """Per-batch 2D statistics (mat_utils.py:82-108)."""
+    """Per-batch 2D statistics (mat_utils.py:82-108).
+
+    Protective divergence: an instance whose valid_mask row is all-False
+    (fully occluded/truncated) is EXCLUDED from score_oks instead of
+    poisoning the epoch metric — the straight formula gives NaN (0/0 + an
+    all-NaN nanmax in coord_to_scale; the reference crashes on np.amin of
+    an empty slice there). Same spirit as the masked_mean_loss guard."""
     dist = np.linalg.norm(spec_mat - true_mat, axis=-1)
-    scales = coord_to_scale(true_mat, valid_mask)
-    oks = np.exp(-dist / (2 * (scales / side_in) ** 2)[..., None])
-    oks = ((oks * valid_mask).sum(axis=-1) / valid_mask.sum(axis=-1))
+    has_valid = valid_mask.any(axis=-1)
+    if not has_valid.any():
+        return dict(mat_mean=0.0, score_oks=0.0,
+                    batch_size=spec_mat.shape[0])
+    scales = coord_to_scale(true_mat[has_valid], valid_mask[has_valid])
+    oks = np.exp(-dist[has_valid]
+                 / (2 * (scales / side_in) ** 2)[..., None])
+    oks = ((oks * valid_mask[has_valid]).sum(axis=-1)
+           / valid_mask[has_valid].sum(axis=-1))
     return dict(mat_mean=np.mean(dist[valid_mask]),
                 score_oks=np.mean(oks),
                 batch_size=spec_mat.shape[0])

@@ -182,6 +182,7 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     W1 = W1 * (sy[None, :, :] <= eh - 1)
     W1 = W1.astype(weight_dtype)
 
+    prec = _dot_precision(weight_dtype)
     src = image.astype(weight_dtype)
     # I[xs, c, v] = sum_sy src[sy, xs, c] * W1[v, sy, xs]
     # operand order puts the tiny channel count (c=1..4) on the LHS free
@@ -192,7 +193,7 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     inter = jax.lax.dot_general(
         src, W1,
         dimension_numbers=(((0,), (1,)), ((1,), (2,))),
-        preferred_element_type=jnp.float32)            # (xs, c, v)
+        preferred_element_type=jnp.float32, precision=prec)  # (xs, c, v)
 
     uu = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     vv = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
@@ -213,7 +214,7 @@ def _warp_single_mxu(image, homography, out_shape, extent, weight_dtype):
     out = jax.lax.dot_general(
         inter.astype(weight_dtype), W2,
         dimension_numbers=(((0,), (1,)), ((2,), (0,))),
-        preferred_element_type=jnp.float32)            # (v, c, u)
+        preferred_element_type=jnp.float32, precision=prec)  # (v, c, u)
     return out.transpose(0, 2, 1)                      # (v, u, c)
 
 
@@ -313,6 +314,17 @@ def decompose_homography(homographies, out_shape, m, xp=jnp):
     return residual, scale
 
 
+def _dot_precision(weight_dtype):
+    """MXU dot precision matching the chosen source dtype: with f32
+    operands the TPU's DEFAULT dot precision still truncates inputs to
+    bf16 (single MXU pass) — measured bit-identical to an explicit bf16
+    cast (docs/experiments/r4_depthwarp_f32.log) — so a caller asking for
+    f32 sources (the raw-depth stream) must also get the multi-pass
+    HIGHEST dot to actually keep the mantissa."""
+    return (jax.lax.Precision.HIGHEST if weight_dtype == jnp.float32
+            else None)
+
+
 def _scale_resample_single(image, scale, extent, m, weight_dtype,
                            post_scale=1.0):
     """Axis-aligned bilinear resample src -> (m, m) intermediate as two
@@ -336,14 +348,15 @@ def _scale_resample_single(image, scale, extent, m, weight_dtype,
     sx = jax.lax.broadcasted_iota(jnp.float32, (1, src_w), 1)
     w2 = _tri(xa - sx) * (sx <= ew - 1.0)              # (m, src_w)
 
+    prec = _dot_precision(weight_dtype)
     src = image.astype(weight_dtype).reshape(src_h, src_w * image.shape[2])
     t1 = jax.lax.dot(w1.astype(weight_dtype), src,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     t1 = t1.reshape(m, src_w, image.shape[2])          # (p, x, c)
     inter = jax.lax.dot_general(
         t1.astype(weight_dtype), w2.astype(weight_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (p, c, q)
+        preferred_element_type=jnp.float32, precision=prec)  # (p, c, q)
     if post_scale != 1.0:
         inter = inter * jnp.float32(post_scale)
     return inter.transpose(0, 2, 1)                    # (p, q, c)
@@ -367,15 +380,16 @@ def _scale_resample_single_planar(image, scale, extent, m, weight_dtype,
     sx = jax.lax.broadcasted_iota(jnp.float32, (1, src_w), 1)
     w2 = _tri(xa - sx) * (sx <= ew - 1.0)              # (m, src_w)
 
+    prec = _dot_precision(weight_dtype)
     src = image.astype(weight_dtype)                   # (sy, x, c)
     t1 = jax.lax.dot_general(
         src, w1.astype(weight_dtype),
         dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (x, c, p)
+        preferred_element_type=jnp.float32, precision=prec)  # (x, c, p)
     inter = jax.lax.dot_general(
         t1.astype(weight_dtype), w2.astype(weight_dtype),
         dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (c, p, q)
+        preferred_element_type=jnp.float32, precision=prec)  # (c, p, q)
     if post_scale != 1.0:
         inter = inter * jnp.float32(post_scale)
     return inter

@@ -257,6 +257,9 @@ def _split_kernel(scal_ref, src_ref, out_ref, y_ref, xt_ref, a_ref,
     w2 = (_tri(xstart + p2 * xstep - sx)
           * jnp.where(sx <= ew - 1.0, 1.0, 0.0)).astype(wdtype)
 
+    # with f32 operands the MXU's DEFAULT dot still truncates to bf16 (one
+    # pass); the f32-source path (raw depth) needs HIGHEST to keep mantissa
+    prec = (jax.lax.Precision.HIGHEST if wdtype == jnp.float32 else None)
     for c in range(n_ch):
         # Mosaic has no direct uint8->bf16 cast; go through int32 (exact
         # for pixel values, and int32->bf16 is supported)
@@ -266,11 +269,13 @@ def _split_kernel(scal_ref, src_ref, out_ref, y_ref, xt_ref, a_ref,
         srcc = srcc.astype(wdtype)
         t1 = jax.lax.dot_general(
             w1, srcc, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (m, src_w)
+            preferred_element_type=jnp.float32,
+            precision=prec)                              # (m, src_w)
         a_c = jax.lax.dot_general(
             t1.astype(wdtype), w2,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (m, m)
+            preferred_element_type=jnp.float32,
+            precision=prec)                              # (m, m)
         a_ref[c, :, :] = a_c * post_scale
 
     src_read = lambda c, lo, size: a_ref[c, pl.ds(lo, size), :]

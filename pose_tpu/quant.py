@@ -190,6 +190,10 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None,
                 'SAME', 'VALID', 'SAME_LOWER'):
             raise NotImplementedError(
                 f'int8 interceptor: padding {m.padding!r} at {path!r}')
+        if getattr(m, 'mask', None) is not None:
+            raise NotImplementedError(
+                f'int8 interceptor: masked convolution at {path!r} (the '
+                'int8 body would silently convolve the unmasked kernel)')
         kernel = m.scope.get_variable('params', 'kernel')    # HWIO
         bias = m.scope.get_variable('params', 'bias') if m.use_bias else None
 
@@ -207,9 +211,18 @@ def make_interceptor(absmax, skip=DEFAULT_SKIP, wscales=None,
             wq, sw = quantize_kernel(kernel)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
-        pad = m.padding                 # 'SAME'/'VALID' pass through; an
-        if isinstance(pad, int):        # int attribute means pad both dims
-            pad = ((pad, pad), (pad, pad))
+        # normalize padding the way flax canonicalizes it for the float
+        # conv: strings pass through; a bare int pads both dims; a per-dim
+        # sequence may mix ints (symmetric) and (low, high) pairs —
+        # lax.conv_general_dilated accepts ONLY strings or pair sequences,
+        # so e.g. flax-legal padding=(1, 1) must become ((1, 1), (1, 1))
+        pad = m.padding
+        if not isinstance(pad, str):
+            if isinstance(pad, int):
+                pad = ((pad, pad), (pad, pad))
+            else:
+                pad = tuple((p, p) if isinstance(p, int) else tuple(p)
+                            for p in pad)
         y = lax.conv_general_dilated(
             xq, wq, window_strides=_pair(m.strides or 1), padding=pad,
             rhs_dilation=_pair(m.kernel_dilation or 1),

@@ -38,6 +38,17 @@ def default_args(**over):
     return types.SimpleNamespace(**base)
 
 
+def _edge_pad(inputs, target):
+    """Edge-pad every array's leading dim up to `target` by repeating the
+    last row (static shapes -> one compiled program; the pad rows are
+    sliced off by the caller). No-op when already >= target."""
+    b = inputs[0].shape[0]
+    if b >= target:
+        return inputs
+    return tuple(jnp.concatenate(
+        [x, jnp.repeat(x[-1:], target - b, axis=0)]) for x in inputs)
+
+
 class Predictor:
     """Fixed-shape, jit-compiled pose predictor for one model variant.
 
@@ -122,15 +133,19 @@ class Predictor:
         return self._placed[1]
 
     def _place_inputs(self, inputs):
-        """Shard a batch over the mesh's data axis, edge-padding a ragged
-        leading dim up to a multiple of it. Returns (inputs, real_batch)."""
+        """Edge-pad a ragged leading dim up to the configured batch_size —
+        ONE program shape serves every partial batch (each distinct padded
+        size would otherwise compile its own program: 3-8 min per shape
+        through a remote transport), and the AOT executable covers them
+        all — then shard over the mesh's data axis when meshed. Oversized
+        batches keep their own (data-axis-padded) shape.
+        Returns (inputs, real_batch)."""
         b = inputs[0].shape[0]
+        inputs = _edge_pad(inputs, self.batch_size)
         if self.mesh is None:
             return inputs, b
-        up = -(-b // self._ndata) * self._ndata
-        if up != b:
-            inputs = tuple(jnp.concatenate(
-                [x, jnp.repeat(x[-1:], up - b, axis=0)]) for x in inputs)
+        bp = inputs[0].shape[0]
+        inputs = _edge_pad(inputs, -(-bp // self._ndata) * self._ndata)
         return tuple(jax.device_put(x, self._shard) for x in inputs), b
 
     def _model_apply(self, variables, inputs):
@@ -142,11 +157,20 @@ class Predictor:
                                             self._quant_acc)
         return apply_fn(*inputs)
 
-    def _forward_impl(self, variables, *inputs):
-        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
-        cast = lambda t: jax.tree_util.tree_map(
+    def _serve_dtype(self):
+        """ONE dtype policy for the serving forward, the calibration
+        forward and weight prequantization — three sites that must agree
+        or calibration silently diverges from what it calibrates for."""
+        return jnp.bfloat16 if self.args.half_acc else jnp.float32
+
+    def _cast_floats(self, tree):
+        dtype = self._serve_dtype()
+        return jax.tree_util.tree_map(
             lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def _forward_impl(self, variables, *inputs):
+        cast = self._cast_floats
         out = self._model_apply(
             {'params': cast(variables['params']),
              'batch_stats': variables['batch_stats']},
@@ -170,18 +194,28 @@ class Predictor:
             result['spec_mat'] = heatmap.decode2d(hm2, self.args.side_in)
         return result
 
+    def _run(self, inputs):
+        """One forward on placed inputs: the AOT executable when it exists
+        and the (padded) batch matches its compiled shape, else the jit —
+        otherwise aot_compile + predict_crops would compile the identical
+        program twice (3-8 min each through a remote transport)."""
+        compiled = getattr(self, '_compiled', None)
+        if compiled is not None and inputs[0].shape[0] == self.batch_size:
+            return compiled(self.serve_variables, *inputs)
+        return self._forward(self.serve_variables, *inputs)
+
     def predict_crops(self, *inputs):
         """Root-relative 3D (and 2D when joint_space) for prepared crops."""
         inputs, b = self._place_inputs(tuple(jnp.asarray(x) for x in inputs))
-        out = self._forward(self.serve_variables, *inputs)
+        out = self._run(inputs)
         return jax.tree_util.tree_map(lambda a: np.asarray(a)[:b], out)
 
     def predict_absolute(self, crops, intrinsics, key_index=0):
         """Absolute camera-space joints via the least-squares root
         reconstruction (requires joint_space; utils.get_deter_cam semantics,
         utils.py:296-332)."""
-        (crops,), b = self._place_inputs((jnp.asarray(crops),))
-        out = self._forward(self.serve_variables, crops)
+        inputs, b = self._place_inputs((jnp.asarray(crops),))
+        out = self._run(inputs)
         if 'spec_mat' not in out:
             raise ValueError('predict_absolute requires a joint_space model')
         # slice padding off before the root solve: intrinsics has one row
@@ -198,14 +232,12 @@ class Predictor:
         `predict_crops` form), then switch to int8 once with
         `quantize_with_scales(cal.scales)` — one recording compile total,
         vs one per batch if `quantize([batch])` were called repeatedly."""
-        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
-        cast = lambda x: (x.astype(dtype)
-                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
-        variables = {'params': jax.tree_util.tree_map(
-            lambda x: cast(jnp.asarray(x)), self.variables['params']),
+        cast = self._cast_floats
+        variables = {'params': cast(jax.tree_util.tree_map(
+            jnp.asarray, self.variables['params'])),
             'batch_stats': self.variables['batch_stats']}
         apply_fn = lambda *ins: self.model.apply(
-            variables, *[cast(jnp.asarray(x)) for x in ins], train=False)
+            variables, *cast([jnp.asarray(x) for x in ins]), train=False)
         return quant.Calibrator(apply_fn)
 
     def quantize(self, calib_batches, skip=quant.DEFAULT_SKIP,
@@ -238,10 +270,9 @@ class Predictor:
         self._quant_scales = dict(scales)
         self._quant_skip = tuple(skip)
         self._quant_acc = acc_dtype
-        dtype = jnp.bfloat16 if self.args.half_acc else jnp.float32
         qparams, self._quant_wscales = quant.prequantize_params(
             self.variables['params'], self._quant_scales, self._quant_skip,
-            dtype)
+            self._serve_dtype())
         self._quant_variables = {'params': qparams,
                                  'batch_stats': self.variables['batch_stats']}
         # fresh jit wrapper: the old one cached the bf16 trace
@@ -251,8 +282,13 @@ class Predictor:
         return self
 
     def aot_compile(self):
-        """Ahead-of-time compile the forward for the configured batch size
-        (removes first-request latency in serving)."""
+        """Ahead-of-time compile the forward for the configured batch size;
+        predict_crops / predict_absolute / BatchingServer reuse the
+        executable for every batch-size-shaped (incl. padded-ragged) call,
+        so first-request latency is paid here exactly once. Idempotent."""
+        compiled = getattr(self, '_compiled', None)
+        if compiled is not None:
+            return compiled
         inputs, _ = self._place_inputs(self._sample_inputs(self.batch_size))
         lowered = jax.jit(self._forward_impl).lower(self.serve_variables,
                                                     *inputs)
@@ -359,10 +395,7 @@ class ArtifactPredictor:
                 f'batch of {b} rows exceeds the artifact\'s baked batch '
                 f'size {self.batch_size} — chunk requests (or re-export '
                 'with a larger batch_size)')
-        if b < self.batch_size:
-            inputs = tuple(jnp.concatenate(
-                [x, jnp.repeat(x[-1:], self.batch_size - b, axis=0)])
-                for x in inputs)
+        inputs = _edge_pad(inputs, self.batch_size)
         if self._shard is not None:
             inputs = tuple(jax.device_put(jnp.asarray(x), self._shard)
                            for x in inputs)
@@ -476,12 +509,18 @@ class BatchingServer:
                 # with the error, not kill the worker thread and wedge
                 # every later submit()
                 crops = np.stack([c for c, _ in items])
-                if n < self.batch_size:
-                    pad = np.repeat(crops[-1:], self.batch_size - n, axis=0)
-                    crops = np.concatenate([crops, pad])
                 batch, _ = self.predictor._place_inputs(
-                    (jnp.asarray(crops),))
-                out = compiled(self.predictor.serve_variables, *batch)
+                    (jnp.asarray(crops),))   # pads ragged to batch_size
+                try:
+                    out = compiled(self.predictor.serve_variables, *batch)
+                except Exception:
+                    # a live quantize() can swap serve_variables between
+                    # the executable snapshot above and this call (the
+                    # re-resolve comment only covers quantize landing
+                    # BEFORE the snapshot): re-resolve once and retry
+                    # before failing the whole batch
+                    compiled = self.predictor.aot_compile()
+                    out = compiled(self.predictor.serve_variables, *batch)
                 host = jax.tree_util.tree_map(np.asarray, out)
                 for i, (_, fut) in enumerate(items):
                     fut.set_result(jax.tree_util.tree_map(

@@ -84,3 +84,24 @@ def test_oks_reference_formula():
     expected = (np.exp(-3.0 / denom) + 1.0) / 2
     assert stats['score_oks'] == pytest.approx(expected, rel=1e-6)
     assert stats['mat_mean'] == pytest.approx(1.5)
+
+
+def test_analyze_mat_all_invalid_row_is_excluded():
+    """A fully-occluded instance (valid_mask row all False) must not poison
+    score_oks with NaN (0/0 + all-NaN nanmax in coord_to_scale): the row is
+    excluded; an all-invalid batch returns zeros instead of NaN."""
+    side_in = 100.0
+    true = np.zeros((2, 2, 2))
+    true[:, 1] = [50.0, 0.0]
+    spec = true.copy()
+    valid = np.ones((2, 2), bool)
+    valid[1] = False                          # row 1 fully invalid
+    stats = metrics.analyze_mat(spec, true, valid, side_in)
+    assert np.isfinite(stats['score_oks'])
+    # exact-match on the surviving row -> oks 1.0
+    assert stats['score_oks'] == pytest.approx(1.0)
+    assert stats['mat_mean'] == pytest.approx(0.0)
+    assert stats['batch_size'] == 2
+
+    none = metrics.analyze_mat(spec, true, np.zeros((2, 2), bool), side_in)
+    assert none['score_oks'] == 0.0 and none['mat_mean'] == 0.0

@@ -369,6 +369,44 @@ def test_interceptor_rejects_unsupported_conv_attributes():
     with pytest.raises(NotImplementedError, match='input_dilation'):
         fwd(x)
 
+    class Masked(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3), mask=jnp.ones((3, 3, 4, 4)),
+                           name='mk')(x)
+
+    mm = Masked()
+    vm = mm.init(jax.random.PRNGKey(0), x)
+    fwd = quant.quantized_call(lambda a: mm.apply(vm, a), {'mk': 1.0})
+    with pytest.raises(NotImplementedError, match='mask'):
+        fwd(x)     # the int8 body would silently drop the kernel mask
+
+
+def test_interceptor_normalizes_int_pair_padding():
+    """flax-legal padding=(1, 1) (per-dim symmetric ints) must quantize —
+    lax.conv_general_dilated only takes strings or (low, high) pair
+    sequences, so the raw attribute crashed the int8 path for a conv that
+    works fine unquantized."""
+    import flax.linen as nn
+
+    class IntPad(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3), padding=(1, 1), name='c')(x)
+
+    m = IntPad()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    fwd = quant.quantized_call(lambda a: m.apply(v, a),
+                               {'c': float(np.abs(np.asarray(x)).max())},
+                               skip=())
+    out = fwd(x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.3)      # int8 quantization error
+
 
 def test_bf16_acc_dtype_tracks_int32():
     """acc_dtype=bfloat16 (narrow conv output for requant bandwidth,

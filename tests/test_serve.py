@@ -196,6 +196,31 @@ class TestBatchingServer:
             flat = [v.tobytes() for v in results.values()]
             assert len(set(flat)) == len(flat)
 
+    def test_aot_executable_reused_by_predict_crops(self):
+        """After aot_compile(), predict_crops must run the AOT executable
+        for full AND padded-ragged batches — not re-trace self._forward
+        (that compiled the identical program twice, 3-8 min each through a
+        remote transport). Ragged batches pad to the ONE configured
+        batch_size, so every partial batch shares the compiled shape."""
+        args = small_args()
+        p = Predictor(args, 'rgb', batch_size=4)
+        rng = np.random.RandomState(7)
+        full = rng.randn(4, 65, 65, 3).astype(np.float32)
+        via_jit = p.predict_crops(full)
+        p.aot_compile()
+
+        def boom(*a, **k):                    # _forward must NOT be hit
+            raise AssertionError('jit forward used despite AOT executable')
+
+        p._forward = boom
+        out = p.predict_crops(full)
+        np.testing.assert_allclose(out['relat_cam'], via_jit['relat_cam'],
+                                   rtol=1e-5, atol=1e-5)
+        ragged = p.predict_crops(full[:3])    # pads to 4 -> AOT shape
+        np.testing.assert_allclose(ragged['relat_cam'],
+                                   via_jit['relat_cam'][:3],
+                                   rtol=1e-5, atol=1e-5)
+
     def test_stop_rejects_new_requests(self):
         from pose_tpu.serve import BatchingServer
         args = small_args()
