@@ -209,6 +209,185 @@ def test_quat_roundtrip():
         np.testing.assert_allclose(quat2mat(mat2quat(m)), m, atol=1e-9)
 
 
+def test_calibrate_extrinsics_matches_quaternion_oracle():
+    """The docstring's parity claim (camera.py:319): our axis-angle
+    refinement reaches the same optimum as the reference's quaternion
+    parameterization (cameralib.py:473-527) — same objective (projection
+    residual over [R|t] in the similarity-normalized frame), different
+    chart. Note the DLT linear estimate alone is EXACT on clean data
+    (rank-11 system); the refinement then restricts to calibrated form in
+    the normalized frame, so exact ground-truth recovery is NOT expected —
+    identity of the two implementations' optima is the contract."""
+    import scipy.optimize
+
+    from pose_tpu.geometry import calibrate_extrinsics
+    from pose_tpu.geometry.camera import _similarity_normalizer
+    from pose_tpu.geometry.rotations import quat2mat
+
+    rng = np.random.RandomState(11)
+    R = cv2.Rodrigues(np.float64([0.3, -0.15, 0.45]))[0]
+    eye = np.float64([500, -200, 1200])
+    P_true = np.concatenate([R, -R @ eye[:, None]], axis=1)
+
+    pts3d = rng.uniform(-1000, 1000, (24, 3)) + [0, 0, 4000]
+    h3w = np.concatenate([pts3d, np.ones((24, 1))], axis=1)
+    proj = h3w @ P_true.T
+    pts2d = proj[:, :2] / proj[:, 2:]
+
+    ours = calibrate_extrinsics(pts2d[:16], pts3d[:16])
+
+    # independent oracle: same normalized objective, quaternion chart
+    fwd2, back2 = _similarity_normalizer(pts2d[:16])
+    fwd3, _ = _similarity_normalizer(pts3d[:16])
+    h2 = np.concatenate([pts2d[:16], np.ones((16, 1))], axis=1) @ fwd2.T
+    h3 = np.concatenate([pts3d[:16], np.ones((16, 1))], axis=1) @ fwd3.T
+
+    def unpack(vec):
+        q = vec[3:] / np.linalg.norm(vec[3:])
+        rot = quat2mat(q)
+        return np.concatenate([rot, -rot @ vec[:3, None]], axis=1)
+
+    def residual(vec):
+        p = h3 @ unpack(vec).T
+        return ((p[:, :2] / p[:, 2:]) - h2[:, :2]).ravel()
+
+    # same DLT linear initialization both implementations use (standard
+    # rows [0,-X,yX; X,0,-xX]), polar-projected to a rotation
+    from pose_tpu.geometry.rotations import mat2quat
+    rows = np.zeros((16, 2, 3, 4))
+    rows[:, 0, 1] = -h3
+    rows[:, 0, 2] = h2[:, 1:2] * h3
+    rows[:, 1, 0] = h3
+    rows[:, 1, 2] = -h2[:, 0:1] * h3
+    _, _, vh = np.linalg.svd(rows.reshape(32, 12), full_matrices=False)
+    p_lin = vh[-1].reshape(3, 4)
+    if np.linalg.det(p_lin[:, :3]) < 0:
+        p_lin = -p_lin
+    u, _, vt = np.linalg.svd(p_lin[:, :3])
+    rot0 = u @ vt
+    eye0 = -np.linalg.inv(p_lin[:, :3]) @ p_lin[:, 3]
+    x0 = np.concatenate([eye0, mat2quat(rot0)])
+    fit = scipy.optimize.least_squares(residual, x0=x0)
+    oracle = back2 @ unpack(fit.x) @ fwd3
+    oracle /= np.cbrt(np.linalg.det(oracle[:3, :3]))
+
+    # same optimum => same projective map: compare reprojections of
+    # held-out points between the two implementations
+    for P in (ours, oracle):
+        assert np.linalg.det(P[:3, :3]) > 0
+    po = h3w[16:] @ ours.T
+    pq = h3w[16:] @ oracle.T
+    np.testing.assert_allclose(po[:, :2] / po[:, 2:], pq[:, :2] / pq[:, 2:],
+                               atol=1e-4)
+
+
+def test_camera_in_new_world_preserves_pixels():
+    """Re-expressing a camera in another camera's frame must leave every
+    projection unchanged when the world points are re-expressed too
+    (cameralib.py:347-351)."""
+    from pose_tpu.geometry import camera_in_new_world
+
+    cam = make_distorted_camera()
+    w = Camera([300, -100, 50], cv2.Rodrigues(np.float32([0, 0.4, -0.1]))[0],
+               np.eye(3, dtype=np.float32), None)
+    rng = np.random.RandomState(12)
+    world = (rng.uniform(-500, 500, (15, 3)) + [100, 200, 2500]).astype(
+        np.float32)
+    new_cam = camera_in_new_world(cam, w)
+    np.testing.assert_allclose(new_cam.world_to_image(w.world_to_camera(world)),
+                               cam.world_to_image(world), atol=2e-2)
+
+
+def test_get_affine_matches_reproject_points():
+    """For intrinsics-only changes the affine map must agree with the full
+    reprojection (cameralib.py:446-460)."""
+    from pose_tpu.geometry import get_affine
+
+    cam = make_distorted_camera()
+    cam.undistort()
+    new_cam = cam.copy()
+    new_cam.zoom(1.7)
+    new_cam.center_principal_point((257, 257))
+
+    rng = np.random.RandomState(13)
+    pts = rng.uniform([400, 200], [1500, 900], (20, 2)).astype(np.float32)
+    affine = get_affine(cam, new_cam)
+    homog = np.concatenate([pts, np.ones((20, 1))], axis=1)
+    via_affine = (homog @ affine.T)[:, :2]
+    # f32 coordinate math at ~1400 px scale carries ~0.1 px rounding
+    np.testing.assert_allclose(via_affine, reproject_points(pts, cam, new_cam),
+                               atol=0.2)
+
+    # moved optical center must be rejected
+    moved = cam.copy()
+    moved.t = moved.t + np.float32([10, 0, 0])
+    with pytest.raises(Exception, match='optical center'):
+        get_affine(cam, moved)
+
+
+def test_look_at_skeleton_frames_all_joints():
+    from pose_tpu.geometry import look_at_skeleton
+
+    cam = make_distorted_camera()
+    rng = np.random.RandomState(14)
+    skel_cam = np.concatenate(
+        [rng.uniform(-400, 400, (19, 2)), rng.uniform(3500, 4500, (19, 1))],
+        axis=1).astype(np.float32)
+    side = 257
+    new_cam = look_at_skeleton(cam, skel_cam, side)
+    world = cam.camera_to_world(skel_cam)
+    pix = new_cam.world_to_image(world)
+    assert pix.min() >= 0 and pix.max() < side
+    np.testing.assert_allclose(new_cam.intrinsic_matrix[:2, 2],
+                               [side / 2, side / 2], atol=1e-3)
+
+
+def test_undistort_points_roundtrip():
+    from pose_tpu.geometry import undistort_points
+
+    cam = make_distorted_camera()
+    rng = np.random.RandomState(15)
+    pts = rng.uniform([400, 200], [1500, 900], (20, 2)).astype(np.float32)
+    pinhole, mapped = undistort_points(cam, pts)
+    assert pinhole.distortion_coeffs is None
+    # fixed-point undistort convergence + f32 rounding: ~0.1 px
+    np.testing.assert_allclose(reproject_points(mapped, pinhole, cam), pts,
+                               atol=0.2)
+
+
+def test_visibility_helpers():
+    from pose_tpu.geometry.camera import is_all_visible_in_new_camera
+
+    cam = make_distorted_camera()
+    cam.undistort()
+    image = np.zeros((1080, 1920, 3), np.uint8)
+    # zooming IN (crop strictly inside the source) keeps every lookup inside
+    inside = cam.copy()
+    inside.zoom(3.0)
+    inside.center_principal_point((257, 257))
+    assert is_all_visible_in_new_camera(image, cam, inside, (257, 257))
+    # zooming far OUT samples outside the source frame
+    outside = cam.copy()
+    outside.zoom(0.05)
+    outside.center_principal_point((257, 257))
+    assert not is_all_visible_in_new_camera(image, cam, outside, (257, 257))
+
+
+def test_triangulate_single_and_view_checks():
+    from pose_tpu.geometry import triangulate_single
+
+    K = np.array([[1000.0, 0, 500], [0, 1000.0, 500], [0, 0, 1]], np.float32)
+    cam1 = Camera([0, 0, 0], np.eye(3), K, None)
+    cam2 = Camera([1000, 0, 0], cv2.Rodrigues(np.float32([0, -0.2, 0]))[0],
+                  K, None)
+    world = np.float32([200, -100, 4000])
+    rec = triangulate_single(
+        [cam1, cam2], [cam1.world_to_image(world), cam2.world_to_image(world)])
+    np.testing.assert_allclose(rec, world, atol=1.0)
+    with pytest.raises(Exception, match='two views'):
+        triangulate([cam1], [cam1.world_to_image(world)[None]])
+
+
 def test_orbit_around_preserves_distance():
     cam = make_distorted_camera()
     point = np.float32([100, 50, 2000])
