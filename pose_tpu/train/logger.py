@@ -18,24 +18,22 @@ from ..parallel import is_main_process
 
 class Logger:
     def __init__(self, args, state):
-        self.state = state if state else dict(best_auc=0, best_pck=0,
-                                              best_epoch=0, epoch=0)
+        self.state = state or dict(
+            best_auc=0, best_pck=0, best_epoch=0, epoch=0)
 
-        if not os.path.exists(args.save_path):
-            os.makedirs(args.save_path, exist_ok=True)
+        run_dir = os.path.join(args.save_path, f'{args.model}-{args.suffix}')
+        os.makedirs(run_dir, exist_ok=True)
+        self.save_path = run_dir
+        self.record_path = os.path.join(run_dir, 'train_record.pth')
 
-        self.save_path = os.path.join(args.save_path,
-                                      args.model + '-' + args.suffix)
-        if not os.path.exists(self.save_path):
-            os.makedirs(self.save_path, exist_ok=True)
-
+        # -save_record and -test_only/-val_only are mutually exclusive, and
+        # exactly one must be set (reference log.py:20)
         assert args.save_record != (args.test_only or args.val_only)
         self.save_record = args.save_record
 
-        record_path = os.path.join(self.save_path, 'train_record.pth')
-        self.train_record = (load_torch_file(record_path)
-                             if args.resume and os.path.exists(record_path)
-                             else None)
+        self.train_record = None
+        if args.resume and os.path.exists(self.record_path):
+            self.train_record = load_torch_file(self.record_path)
 
     def record(self, epoch, train_recs, test_recs, variables):
         """variables: the model's flax variables pytree
@@ -48,37 +46,32 @@ class Logger:
         self.state['epoch'] = epoch
 
         if train_recs:
-            model_file = os.path.join(self.save_path, 'model_%d.pth' % epoch)
-            checkpoint = dict(state=self.state,
-                              model=variables_to_torch_state(variables))
-            save_torch_file(checkpoint, model_file)
+            save_torch_file(
+                dict(state=self.state,
+                     model=variables_to_torch_state(variables)),
+                os.path.join(self.save_path, 'model_%d.pth' % epoch))
 
-        if test_recs:
-            score_sum = test_recs['score_auc'] + test_recs['score_pck']
-            best_sum = self.state['best_auc'] + self.state['best_pck']
-            if score_sum > best_sum:
-                self.state['best_epoch'] = epoch
-                self.state['best_auc'] = test_recs['score_auc']
-                self.state['best_pck'] = test_recs['score_pck']
-                save_torch_file({'best': epoch},
-                                os.path.join(self.save_path, 'best.pth'))
+        if test_recs and self._improves_best(test_recs):
+            self.state.update(best_epoch=epoch,
+                              best_auc=test_recs['score_auc'],
+                              best_pck=test_recs['score_pck'])
+            save_torch_file({'best': epoch},
+                            os.path.join(self.save_path, 'best.pth'))
 
         train_recs.update(test_recs)
 
         if self.save_record:
-            if self.train_record:
-                keys = [key for key in train_recs]
-                records = [self.train_record[key] + [train_recs[key]]
-                           for key in train_recs]
-                self.train_record = dict(zip(keys, records))
-            else:
-                keys = [key for key in train_recs]
-                records = [[train_recs[key]] for key in train_recs]
-                self.train_record = dict(zip(keys, records))
+            # append this epoch's scalars to the per-key history lists
+            history = self.train_record or {}
+            self.train_record = {
+                name: history.get(name, []) + [value]
+                for name, value in train_recs.items()}
+            save_torch_file(self.train_record, self.record_path)
+            print('- train record saved to', self.record_path, '\n')
 
-            record_path = os.path.join(self.save_path, 'train_record.pth')
-            save_torch_file(self.train_record, record_path)
-            print('- train record saved to', record_path, '\n')
+    def _improves_best(self, test_recs):
+        cur = test_recs['score_auc'] + test_recs['score_pck']
+        return cur > self.state['best_auc'] + self.state['best_pck']
 
     def final_print(self):
         print('[=] Best:  epoch: {:3d}  auc: {:6.3f}  pck: {:6.3f}'.format(
@@ -86,5 +79,5 @@ class Logger:
             self.state['best_pck']))
 
     def print_rec(self, record):
-        for key, value in record.items():
-            print('{:>9}'.format(key) + ':', '{:.4f}'.format(value))
+        for name, value in record.items():
+            print(f'{name:>9}: {value:.4f}')
