@@ -162,6 +162,11 @@ def main():
         logger.print_rec(test_rec)
     else:
         start_epoch = logger.state['epoch'] + 1
+        if (args.resume and args.save_state
+                and getattr(args, 'save_every', 0)):
+            # a mid-epoch sidecar for start_epoch (if one exists) resumes
+            # the interrupted epoch from its exact batch (engine.MidEpochSaver)
+            trainer._mid_resume_pending = True
         print('=> Train starts')
         for epoch in range(start_epoch, args.n_epochs + 1):
             with _trace_ctx(args, capture=(epoch == start_epoch)):

@@ -135,6 +135,18 @@ def build_parser():
                              'resume bit-exact incl. Adam moments and BN '
                              'stats (the reference torch checkpoints only '
                              'carry weights+epoch; beyond-reference extra)')
+    parser.add_argument('-save_every', default=0, type=int,
+                        help='with -save_state: additionally write a '
+                             'preemption-safe MID-epoch sidecar every N '
+                             'train steps; -resume then continues '
+                             'bit-exactly from the last snapshot — the '
+                             'loaders are (seed, epoch, batch-index)-'
+                             'deterministic, so the rest of the epoch '
+                             'replays exactly, incl. the distillation '
+                             'teacher state and the semi stream position. '
+                             '0 disables (beyond-reference extra: TPU pods '
+                             'preempt; per-epoch resume loses up to an '
+                             'epoch)')
 
     # train options
     parser.add_argument('-warmup_factor', default=0.2, type=float, help='LR multiplier during warmup')

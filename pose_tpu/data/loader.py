@@ -120,6 +120,9 @@ class PoseLoader:
         self.shuffle = args.shuffle and (not self.at_test)
         self.seed = seed
         self.epoch = 0
+        # -save_every mid-epoch resume: index of the first batch the NEXT
+        # iteration should yield (one-shot; see __iter__)
+        self.start_batch = 0
 
         self.canvas = canvas or (512, 512)
         # POSE_TPU_WARP=split|mxu|gather|pallas_banded selects the train-time
@@ -485,6 +488,13 @@ class PoseLoader:
         batches, meta = self._shard_indices(batches)
         n_workers = max(getattr(self.args, 'workers', 1), 1)
 
+        # mid-epoch resume (-save_every): one-shot fast-forward — skipped
+        # batches are never decoded, and every batch keeps its ORIGINAL
+        # index, so the per-batch fold_in key and every RNG draw are
+        # identical to the uninterrupted epoch
+        start = self.start_batch
+        self.start_batch = 0
+
         if n_workers == 1:
             def produce(q):
                 # a raising _decode_batch (e.g. one corrupt JPEG) must
@@ -492,6 +502,8 @@ class PoseLoader:
                 # thread and leave the training loop blocked on q.get()
                 try:
                     for i_batch, idxs in enumerate(batches):
+                        if i_batch < start:
+                            continue
                         q.put((i_batch, self._decode_batch(idxs)))
                     q.put(None)
                 except BaseException as e:
@@ -517,7 +529,7 @@ class PoseLoader:
             # torch DataLoader num_workers (datasets.py:5), which the
             # 1-thread producer of round 1 could not match on many-core
             # hosts (VERDICT round-2 item 4).
-            next_idx = [0]
+            next_idx = [start]
             ready = {}
             lock = threading.Lock()
             avail = threading.Condition(lock)
@@ -550,7 +562,7 @@ class PoseLoader:
                        for _ in range(n_workers)]
             for t in threads:
                 t.start()
-            for i_batch in range(len(batches)):
+            for i_batch in range(start, len(batches)):
                 with lock:
                     while i_batch not in ready:
                         avail.wait()

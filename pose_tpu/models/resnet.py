@@ -275,6 +275,25 @@ class Stage(nn.Module):
         return x
 
 
+class _HeadParams(nn.Module):
+    """Kernel/bias of one 3x3 regressor head, registered under exactly the
+    param names, shapes and initializers of the `nn.Conv` it displaces —
+    checkpoints, the torch converter and the init RNG stream (path-keyed)
+    are all unchanged. Used by the fused dual-head path, which concatenates
+    both heads into one conv at apply time."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', regressor_kernel_init,
+                            (3, 3, self.in_features, self.features))
+        bias = self.param('bias',
+                          regressor_bias_init_for(self.in_features * 9),
+                          (self.features,))
+        return kernel, bias
+
+
 class PoseResNet(nn.Module):
     """The unified trunk. See module docstring for variant semantics."""
     block: str = 'bottleneck'            # 'basic' | 'bottleneck'
@@ -396,6 +415,30 @@ class PoseResNet(nn.Module):
 
         head_in = 512 * expansion
         cam_out = self.depth * self.num_joints
+
+        if (self.variant == 'rgb' and self.joint_space and not skip
+                and os.environ.get('POSE_TPU_FUSED_HEAD', '1') != '0'):
+            # Both regressor heads read the SAME stage-4 feature (without
+            # -skip_relu the cam head's input is `n` too, train.py:82 /
+            # resnet.py:176-178), so they run as ONE conv over concatenated
+            # output channels: 19 mat channels ride the MXU lane padding of
+            # the 304 cam channels instead of paying their own padded
+            # fwd/dgrad/wgrad passes (measured on chip, ROUND5_NOTES).
+            # Params stay registered per head under the nn.Conv names and
+            # shapes, so checkpoints and the torch converter are untouched;
+            # forward is bit-exact (each output channel is an independent
+            # reduction).
+            ck, cb = _HeadParams(cam_out, head_in,
+                                 name='cam_regressor')()
+            mk, mb = _HeadParams(self.num_joints, head_in,
+                                 name='mat_regressor')()
+            zm = jax.lax.conv_general_dilated(
+                n, jnp.concatenate([ck, mk], axis=-1),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            zm = zm + jnp.concatenate([cb, mb], axis=-1)
+            return zm[..., :cam_out], zm[..., cam_out:]
+
         z = nn.Conv(cam_out, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=regressor_kernel_init,
                     bias_init=regressor_bias_init_for(head_in * 9),

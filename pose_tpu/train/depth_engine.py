@@ -18,7 +18,8 @@ import jax
 from .. import metrics
 from . import schedules, steps
 from ..parallel import is_main_process
-from .engine import BaseTrainer, LossMeter, _overlap, _to_host, back_rotate
+from .engine import (BaseTrainer, LossMeter, MidEpochSaver, _overlap,
+                     _to_host, back_rotate)
 
 
 def load_metadata(args):
@@ -79,13 +80,29 @@ class DepthTrainer(BaseTrainer):
     def set_semi_loader(self, loader):
         self.semi_loader = loader
         self.semi_worker = iter(loader)
+        self._semi_pulled = 0   # batches consumed in the current cycle
 
     def _next_semi_batch(self):
         try:
-            return next(self.semi_worker)
+            batch = next(self.semi_worker)
         except StopIteration:
             self.semi_worker = iter(self.semi_loader)
-            return next(self.semi_worker)
+            self._semi_pulled = 0
+            batch = next(self.semi_worker)
+        self._semi_pulled += 1
+        return batch
+
+    # --- -save_every: the semi stream's position is part of the mid-epoch
+    # continuation record; restore replays it via loader fast-forward
+    def _get_semi_pos(self):
+        return dict(epoch=np.int64(self.semi_loader.epoch),
+                    pulled=np.int64(self._semi_pulled))
+
+    def _set_semi_pos(self, pos):
+        self.semi_loader.set_epoch(int(pos['epoch']))
+        self.semi_loader.start_batch = int(pos['pulled'])
+        self.semi_worker = iter(self.semi_loader)
+        self._semi_pulled = int(pos['pulled'])
 
     # ------------------------------------------------------------- training
 
@@ -105,12 +122,13 @@ class DepthTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
+        saver = MidEpochSaver(self, epoch, data_loader, {'train': meter})
 
         # delayed console print: step i+1 dispatches before batch i's
         # float() fetch (engine._overlap), keeping the device busy across
         # the per-line host sync; console text/order unchanged
         def dispatched():
-            for i_batch, batch in enumerate(data_loader):
+            for i_batch, batch in enumerate(data_loader, start=saver.offset):
                 in_image = (batch['depth'] if self.args.depth_only
                             else batch['color'])
                 device_batch = dict(in_image=in_image,
@@ -121,6 +139,7 @@ class DepthTrainer(BaseTrainer):
                     self.state,
                     self._shard(device_batch, device_batch.keys()), lr)
                 meter.add(out, b)
+                saver.step_done(i_batch)
                 yield i_batch, out
 
         for i_batch, out in _overlap(dispatched()):
@@ -140,9 +159,10 @@ class DepthTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
+        saver = MidEpochSaver(self, epoch, data_loader, {'train': meter})
 
         def dispatched():
-            for i_batch, batch in enumerate(data_loader):
+            for i_batch, batch in enumerate(data_loader, start=saver.offset):
                 device_batch = dict(color=batch['color'],
                                     depth=batch['depth'],
                                     true_cam=batch['true_cam'],
@@ -152,6 +172,7 @@ class DepthTrainer(BaseTrainer):
                     self.state,
                     self._shard(device_batch, device_batch.keys()), lr)
                 meter.add(out, b)
+                saver.step_done(i_batch)
                 yield i_batch, out
 
         for i_batch, out in _overlap(dispatched()):
@@ -176,9 +197,21 @@ class DepthTrainer(BaseTrainer):
         freq = getattr(self.args, 'print_freq', 1)
         cam_meter = LossMeter(('cam_loss',))
         dist_meter = LossMeter(('dist_loss',))
+        # the teacher's BN stats drift with every step (no -do_freeze) and
+        # the semi stream has its own position — both are part of the
+        # mid-epoch continuation record
+        from ..parallel import shard_replicated
+        extra = {'teacher_vars': (
+            lambda: self.teacher_vars,
+            lambda v: setattr(self, 'teacher_vars',
+                              shard_replicated(self.mesh, v)))}
+        if self.args.semi_teach:
+            extra['semi_pos'] = (self._get_semi_pos, self._set_semi_pos)
+        saver = MidEpochSaver(self, epoch, data_loader,
+                              {'cam': cam_meter, 'dist': dist_meter}, extra)
 
         def dispatched():
-            for i_batch, batch in enumerate(data_loader):
+            for i_batch, batch in enumerate(data_loader, start=saver.offset):
                 full_batch = self._size(batch, 'color')
                 device_batch = dict(color=batch['color'],
                                     depth=batch['depth'],
@@ -204,6 +237,7 @@ class DepthTrainer(BaseTrainer):
                 if self.args.semi_teach:
                     dist_meter.add({'dist_loss': out['semi_loss']},
                                    semi_batch)
+                saver.step_done(i_batch)
                 yield i_batch, out
 
         for i_batch, out in _overlap(dispatched()):

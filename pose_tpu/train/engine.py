@@ -85,6 +85,89 @@ def back_rotate(back_rotation, cam):
     return np.einsum('Bij,BCj->BCi', back_rotation, cam)
 
 
+class MidEpochSaver:
+    """Preemption-safe mid-epoch checkpointing (`-save_state -save_every N`;
+    beyond-reference — the reference resumes per epoch only, log.py:33-40,
+    losing up to an epoch on a pod preemption).
+
+    Every N train steps the epoch's full continuation record goes into the
+    orbax mid-epoch sidecar: TrainState, any extra step-carried pytrees
+    (e.g. the distillation teacher's drifting BN stats and the semi-stream
+    position), the loss-meter partial sums, the loader's epoch counter and
+    the next batch index. Because the loaders draw every RNG from
+    (seed, epoch, batch-index), a restored run replays the REST of the
+    epoch bit-exactly: skipped batches are never decoded and keep their
+    original indices (loader.start_batch).
+
+    Save is main-process-only (multi-host runs share the checkpoint
+    filesystem); restore happens in every process, from the shared path.
+    `extra` maps name -> (getter, setter) over pytrees owned by the
+    trainer. Loaders without fast-forward support (no `start_batch`)
+    disable the saver with a console note rather than checkpointing
+    something that could not resume correctly."""
+
+    def __init__(self, trainer, epoch, data_loader, meters, extra=None):
+        self.trainer = trainer
+        self.args = trainer.args
+        self.epoch = epoch
+        self.loader = data_loader
+        self.meters = meters
+        self.extra = extra or {}
+        every = int(getattr(self.args, 'save_every', 0) or 0)
+        enabled = every > 0 and getattr(self.args, 'save_state', False)
+        if enabled and not hasattr(data_loader, 'start_batch'):
+            print('=> -save_every: %s cannot fast-forward (no start_batch) '
+                  '— mid-epoch checkpointing disabled for this run'
+                  % type(data_loader).__name__)
+            enabled = False
+        self.every = every if enabled else 0
+        self.offset = 0
+        if self.every and getattr(trainer, '_mid_resume_pending', False):
+            trainer._mid_resume_pending = False
+            self.offset = self._try_restore()
+
+    def _payload(self):
+        return dict(
+            state=self.trainer.state,
+            extra={name: get() for name, (get, _) in self.extra.items()},
+            meters={name: dict(
+                        sums={k: np.float32(0.0) if v is None else v
+                              for k, v in m.sums.items()},
+                        total=np.int64(m.total))
+                    for name, m in self.meters.items()},
+            loader_epoch=np.int64(getattr(self.loader, 'epoch', 0)))
+
+    def _try_restore(self):
+        from .orbax_io import restore_mid_epoch
+        res = restore_mid_epoch(self.args, self._payload(), self.epoch)
+        if res is None:
+            return 0
+        payload, next_batch = res
+        self.trainer.load_state(payload['state'])
+        for name, m in self.meters.items():
+            saved = payload['meters'][name]
+            m.sums = dict(saved['sums'])
+            m.total = int(saved['total'])
+        for name, (_, set_) in self.extra.items():
+            set_(payload['extra'][name])
+        self.loader.set_epoch(int(payload['loader_epoch']))
+        self.loader.start_batch = next_batch
+        print('=> Resuming epoch %d from batch %d (mid-epoch sidecar)'
+              % (self.epoch, next_batch))
+        return next_batch
+
+    def step_done(self, i_batch):
+        """Call after train step `i_batch` has been dispatched and metered;
+        writes a snapshot when the cadence hits (the device_get inside the
+        save is the only extra host sync, once per N steps)."""
+        if self.every and (i_batch + 1) % self.every == 0:
+            from ..parallel import is_main_process
+            if is_main_process():
+                from .orbax_io import save_mid_epoch
+                save_mid_epoch(self.args, self._payload(), self.epoch,
+                               i_batch + 1)
+
+
 class BaseTrainer:
     def __init__(self, args, model, data_info, mesh=None):
         self.args = args
@@ -109,6 +192,9 @@ class BaseTrainer:
         self._foreign_mesh_warned = False
         self.tx = steps.make_optimizer(args)
         self.state = None
+        # set by the entry points on -resume -save_state -save_every; the
+        # first train() consumes it (MidEpochSaver)
+        self._mid_resume_pending = False
 
     def init_state(self, sample_inputs, rng=None):
         self.state = steps.init_state(self.model, self.args, self.tx,
@@ -196,18 +282,20 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss',))
+        saver = MidEpochSaver(self, epoch, data_loader, {'train': meter})
 
         # the consumer's float() fetch for the console line is the only
         # per-step host sync; _overlap dispatches step i+1 first, so the
         # device trains batch i+1 while the host waits on batch i's loss
         # (console text/order unchanged)
         def dispatched():
-            for i, batch in enumerate(data_loader):
+            for i, batch in enumerate(data_loader, start=saver.offset):
                 b = self._size(batch, 'image')
                 device_batch = self._shard(
                     batch, ('image', 'true_cam', 'true_val'))
                 self.state, out = step(self.state, device_batch, lr)
                 meter.add(out, b)
+                saver.step_done(i)
                 yield i, out
 
         for i, out in _overlap(dispatched()):
@@ -224,15 +312,17 @@ class RgbTrainer(BaseTrainer):
         n_batches = len(data_loader)
         freq = getattr(self.args, 'print_freq', 1)
         meter = LossMeter(('cam_loss', 'mat_loss', 'recon_loss'))
+        saver = MidEpochSaver(self, epoch, data_loader, {'train': meter})
 
         def dispatched():
-            for i, batch in enumerate(data_loader):
+            for i, batch in enumerate(data_loader, start=saver.offset):
                 b = self._size(batch, 'image')
                 device_batch = self._shard(
                     batch, ('image', 'true_cam', 'true_val', 'true_mat',
                             'intrinsics'))
                 self.state, out = step(self.state, device_batch, lr)
                 meter.add(out, b)
+                saver.step_done(i)
                 yield i, out
 
         for i, out in _overlap(dispatched()):

@@ -71,3 +71,63 @@ def maybe_save_sidecar(trainer, args, epoch):
     """Per-epoch sidecar write under -save_state."""
     if getattr(args, 'save_state', False):
         save_train_state(sidecar_dir(args), trainer.state, step=epoch)
+        # the epoch is complete: any mid-epoch checkpoint is now stale and
+        # must not hijack the next resume
+        clear_mid_epoch(args)
+
+
+# ----------------------------------------------------- mid-epoch sidecar
+#
+# TPU pods preempt; the reference's per-epoch-only resume (log.py:33-40
+# semantics) loses up to a full epoch of work. Because the loaders are
+# (seed, epoch, batch-index)-deterministic — the per-batch RNG key is
+# fold_in(PRNGKey(seed + f(epoch)), i_batch) regardless of where iteration
+# starts — a run can be frozen after any train step and continued
+# bit-exactly: the mid-epoch sidecar carries the full TrainState, any
+# extra step-carried pytrees (e.g. the distillation teacher's drifting BN
+# stats), the loss-meter partial sums, and the index of the next batch.
+# `-save_every N` (with -save_state) writes one every N train steps.
+
+_MID_EPOCH_RADIX = 10 ** 7    # step id = epoch * radix + next_batch
+
+
+def mid_epoch_dir(args):
+    return os.path.join(sidecar_dir(args), 'mid')
+
+
+def clear_mid_epoch(args):
+    import shutil
+    shutil.rmtree(mid_epoch_dir(args), ignore_errors=True)
+
+
+def save_mid_epoch(args, payload, epoch, next_batch):
+    """payload: a pytree (dict) with everything the continuation needs;
+    the engines own its schema. Bounded at the 2 most recent snapshots."""
+    assert next_batch < _MID_EPOCH_RADIX
+    directory = mid_epoch_dir(args)
+    os.makedirs(directory, exist_ok=True)
+    step = epoch * _MID_EPOCH_RADIX + next_batch
+    options = ocp.CheckpointManagerOptions(max_to_keep=2)
+    with ocp.CheckpointManager(directory, options=options) as manager:
+        saved = manager.save(step, args=ocp.args.StandardSave(
+            jax.device_get(payload)), force=True)
+        manager.wait_until_finished()
+    if not saved:
+        raise RuntimeError(
+            f'orbax refused mid-epoch step {step} into {directory}')
+
+
+def restore_mid_epoch(args, template, expected_epoch):
+    """(payload, next_batch) from the latest mid-epoch snapshot of
+    `expected_epoch`, or None if there is none for that epoch (older
+    snapshots are stale — their epoch completed and was recorded)."""
+    directory = mid_epoch_dir(args)
+    if not os.path.isdir(directory):
+        return None
+    with ocp.CheckpointManager(directory) as manager:
+        step = manager.latest_step()
+        if step is None or step // _MID_EPOCH_RADIX != expected_epoch:
+            return None
+        payload = manager.restore(
+            step, args=ocp.args.StandardRestore(jax.device_get(template)))
+    return payload, step % _MID_EPOCH_RADIX
