@@ -38,18 +38,21 @@ def main():
 
     arms = {}
     for label, env in (('fused', '1'), ('separate', '0')):
+        # the flag is read at TRACE time (resnet.py __call__), so each
+        # arm must build AND warm (trace+compile) before the env flips
         os.environ['POSE_TPU_FUSED_HEAD'] = env
         state, run_once = bench.build(make_args())
-        arms[label] = dict(state=state, run=run_once)
-
-    # warm both programs (compile; value fetch = the only reliable sync)
-    for label, arm in arms.items():
-        import jax.numpy as jnp  # noqa: F401
+        t0 = time.perf_counter()
         for i in range(3):
-            arm['state'], out = arm['run'](arm['state'], i)
+            state, out = run_once(state, i)
         float(out['cam_loss'])
-        print(json.dumps({'compiled': label}), flush=True)
+        arms[label] = dict(state=state, run=run_once)
+        print(json.dumps({'compiled': label,
+                          'warm_s': round(time.perf_counter() - t0, 1)}),
+              flush=True)
 
+    # interleaved fetch-synced windows; the arms' PRNG state already
+    # diverged during warmup but the programs are fixed now
     n_steps, n_rounds = 30, 6
     times = {k: [] for k in arms}
     for r in range(n_rounds):

@@ -417,17 +417,20 @@ class PoseResNet(nn.Module):
         cam_out = self.depth * self.num_joints
 
         if (self.variant == 'rgb' and self.joint_space and not skip
-                and os.environ.get('POSE_TPU_FUSED_HEAD', '1') != '0'):
-            # Both regressor heads read the SAME stage-4 feature (without
-            # -skip_relu the cam head's input is `n` too, train.py:82 /
-            # resnet.py:176-178), so they run as ONE conv over concatenated
-            # output channels: 19 mat channels ride the MXU lane padding of
-            # the 304 cam channels instead of paying their own padded
-            # fwd/dgrad/wgrad passes (measured on chip, ROUND5_NOTES).
-            # Params stay registered per head under the nn.Conv names and
-            # shapes, so checkpoints and the torch converter are untouched;
-            # forward is bit-exact (each output channel is an independent
-            # reduction).
+                and os.environ.get('POSE_TPU_FUSED_HEAD', '0') == '1'):
+            # MEASURED NEGATIVE, default OFF (POSE_TPU_FUSED_HEAD=1 to
+            # enable): both regressor heads read the SAME stage-4 feature
+            # (without -skip_relu the cam head's input is `n` too,
+            # train.py:82 / resnet.py:176-178), so they can run as ONE conv
+            # over concatenated output channels — bit-exact forward, params
+            # registered per head under the nn.Conv names/shapes so
+            # checkpoints and the torch converter are untouched. The
+            # hypothesis was that the 19 mat channels would ride the MXU
+            # lane padding of the 304 cam channels; the interleaved
+            # in-process A/B measured the OPPOSITE: fused 1195.5 vs
+            # separate 1209.2 img/s median (-1.13%, flagship bs128 step,
+            # docs/experiments/r5_fusedhead_ab.log) — XLA schedules the
+            # small separate head better than the padded 323-ch fusion.
             ck, cb = _HeadParams(cam_out, head_in,
                                  name='cam_regressor')()
             mk, mb = _HeadParams(self.num_joints, head_in,
