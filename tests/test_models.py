@@ -1,6 +1,7 @@
 """Model family tests: shapes for every variant/flag combo, and forward parity
 against a torch twin through the checkpoint converter."""
 
+import chex
 import numpy as np
 import pytest
 
@@ -191,6 +192,31 @@ class TestShapes:
                                         jnp.ones((1, 65, 65, 4)),
                                         train=False)[0]
         assert z.shape[-1] == 20 and mat.shape[-1] == 5
+
+    def test_fused_head_env_path_bit_exact(self, monkeypatch):
+        """POSE_TPU_FUSED_HEAD=1 (a measured-negative perf experiment kept
+        behind the env switch, docs/experiments/r5_fusedhead_ab.log) runs
+        both regressor heads as one concatenated conv — same param tree,
+        bit-identical forward to the default separate-conv path."""
+        model = PoseResNet(block='basic', layers=(1, 1, 1, 1), variant='rgb',
+                           in_channels=3, stride=32, num_joints=5, depth=4,
+                           joint_space=True)
+        x = jnp.asarray(np.random.RandomState(7).rand(2, 65, 65, 3)
+                        .astype(np.float32))
+
+        monkeypatch.setenv('POSE_TPU_FUSED_HEAD', '0')
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        z_sep, mat_sep = model.apply(variables, x, train=False)
+
+        monkeypatch.setenv('POSE_TPU_FUSED_HEAD', '1')
+        variables_f = model.init(jax.random.PRNGKey(0), x, train=False)
+        chex.assert_trees_all_equal(variables, variables_f)
+        z_fused, mat_fused = model.apply(variables, x, train=False)
+
+        np.testing.assert_array_equal(np.asarray(z_sep),
+                                      np.asarray(z_fused))
+        np.testing.assert_array_equal(np.asarray(mat_sep),
+                                      np.asarray(mat_fused))
 
     def test_early_dist_taps_stage3(self):
         model = PoseResNet(block='basic', layers=(1, 1, 1, 1), variant='depth',
