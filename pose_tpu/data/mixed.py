@@ -27,6 +27,9 @@ class MixedLoader:
         self.loaders = list(loaders)
         self.seed = seed
         self.epoch = 0
+        # -save_every mid-epoch resume (engine.MidEpochSaver): one-shot
+        # fast-forward, see __iter__
+        self.start_batch = 0
         # when RGB-only and depth loaders are mixed, rename the RGB
         # stream's 'image' key to 'color' so the batch schema is uniform
         # (the depth-family trainers consume 'color')
@@ -42,6 +45,37 @@ class MixedLoader:
                 loader.set_epoch(epoch)
 
     def __iter__(self):
+        n = len(self.loaders)
+        lens = [len(loader) for loader in self.loaders]
+        est = list(lens)
+        rng = np.random.RandomState(self.seed + self.epoch)
+
+        # mid-epoch fast-forward: the which-member-per-slot sequence
+        # depends only on (seed, epoch, member lengths) — never on batch
+        # contents — so the first `start` slots can be SIMULATED (burning
+        # the same rng draws and the same est bookkeeping as the real
+        # loop) and each member told how many of its batches were already
+        # consumed. Members then fast-forward via their own start_batch
+        # (no decode, indices preserved), and the interleave continues
+        # with the rng positioned exactly where the uninterrupted epoch
+        # would have it.
+        start = self.start_batch
+        self.start_batch = 0
+        if start:
+            consumed = [0] * n
+            alive = [m > 0 for m in lens]
+            for _ in range(start):
+                weights = np.asarray(
+                    [(max(e, 1e-9) if a else 0.0)
+                     for e, a in zip(est, alive)], np.float64)
+                idx = rng.choice(n, p=weights / weights.sum())
+                consumed[idx] += 1
+                est[idx] = max(est[idx] - 1, 0)
+                if consumed[idx] >= lens[idx]:
+                    alive[idx] = False
+            for loader, done in zip(self.loaders, consumed):
+                loader.start_batch = done
+
         # one-batch lookahead so every member generator runs to actual
         # StopIteration: that is what executes the member's own
         # end-of-epoch bookkeeping (PoseLoader's `epoch += 1`) and lets
@@ -56,8 +90,6 @@ class MixedLoader:
                 heads.append(next(it))
             except StopIteration:
                 heads.append(None)
-        est = [len(loader) for loader in self.loaders]
-        rng = np.random.RandomState(self.seed + self.epoch)
         while any(h is not None for h in heads):
             weights = np.asarray(
                 [(max(e, 1e-9) if h is not None else 0.0)

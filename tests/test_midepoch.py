@@ -107,6 +107,56 @@ def test_loader_fast_forward_is_bit_exact(cmu):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+@pytest.fixture(scope='module')
+def combined(tmp_path_factory):
+    """Merged NTU+PKU metadata (the config-5 mixed stream)."""
+    import json
+    from pose_tpu.data.synthetic import make_ntu_fixture, make_pku_fixture
+    root = tmp_path_factory.mktemp('mid_mix')
+    ntu_meta = make_ntu_fixture(str(root / 'ntu'), num_train=8, num_valid=4)
+    pku_meta = make_pku_fixture(str(root / 'pku'), num_train=8, num_valid=4)
+    merged = json.load(open(ntu_meta))
+    pku = json.load(open(pku_meta))
+    for key in ('root', 'loader', 'no_depth', 'thresholds'):
+        merged[key].update(pku[key])
+    path = str(root / 'metadata.json')
+    json.dump(merged, open(path, 'w'))
+    return path
+
+
+def test_mixed_loader_fast_forward_is_bit_exact(combined):
+    """MixedLoader fast-forward: the which-member-per-slot draw sequence
+    depends only on (seed, epoch, member lengths), so the simulated skip
+    positions the interleave rng AND each member's start_batch exactly —
+    batches k.. of a fast-forwarded mixed epoch equal the tail of a full
+    one, including the _dataset routing tags."""
+    from depth_main import get_info
+    from pose_tpu.data.mixed import build_mixed_loader
+
+    def batches(start):
+        args = make_args(combined, '/tmp', data_name='ntu', num_joints=17,
+                         do_teach=False, attention=False,
+                         do_fusion=False, partial_conv=False)
+        loader = build_mixed_loader(args, 'train', get_info(),
+                                    ['ntu', 'pku'],
+                                    metadata_path=combined)
+        loader.start_batch = start
+        out = []
+        for b in loader:
+            out.append(({k: np.asarray(v) for k, v in b.items()
+                         if hasattr(v, 'shape')}, b['_dataset']))
+        return out
+
+    full = batches(0)
+    tail = batches(2)
+    assert len(full) == 4 and len(tail) == 2
+    for (a, da), (b, db) in zip(full[2:], tail):
+        assert da == db
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 @pytest.mark.slow
 def test_rgb_preempt_resume_bit_equal(cmu, tmp_path):
     """Kill a cam-train epoch after batch 3 (snapshot cadence 2 => the last
