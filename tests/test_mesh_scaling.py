@@ -57,6 +57,17 @@ def _flag_args(**over):
     return types.SimpleNamespace(**base)
 
 
+def _tiny_model(variant, in_channels):
+    """Smallest trunk that still has every structural element (stem, four
+    stages, head(s), BN stats): the scaling-structure assertions are about
+    SPMD partitioning, not capacity, and (1,1,1,1) halves the 10 CPU
+    compiles that dominate this file's wall time."""
+    from pose_tpu.models import PoseResNet
+    return PoseResNet(block='basic', layers=(1, 1, 1, 1), variant=variant,
+                      in_channels=in_channels, stride=32,
+                      num_joints=JOINTS, depth=4)
+
+
 def _param_bytes(state):
     return int(sum(np.prod(x.shape) * x.dtype.itemsize
                    for x in jax.tree_util.tree_leaves(state.params)))
@@ -109,12 +120,11 @@ def _flops(compiled):
 
 
 def _build_cam(mesh):
-    from pose_tpu.models import build_model
     from pose_tpu.parallel import shard_batch, shard_replicated
     from pose_tpu.train import steps
 
     args = _flag_args()
-    model = build_model(args, 'rgb')
+    model = _tiny_model('rgb', 3)
     tx = steps.make_optimizer(args)
     state = steps.init_state(model, args, tx,
                              (jnp.ones((1, SIDE, SIDE, 3)),))
@@ -133,12 +143,11 @@ def _build_cam(mesh):
 
 
 def _build_fusion(mesh):
-    from pose_tpu.models import build_model
     from pose_tpu.parallel import shard_batch, shard_replicated
     from pose_tpu.train import steps
 
     args = _flag_args(do_fusion=True, to_depth=False, nexponent=False)
-    model = build_model(args, 'fusion')
+    model = _tiny_model('fusion', 3)
     tx = steps.make_optimizer(args)
     state = steps.init_state(model, args, tx,
                              (jnp.ones((1, SIDE, SIDE, 3)),
@@ -159,13 +168,12 @@ def _build_fusion(mesh):
 
 
 def _build_partial(mesh):
-    from pose_tpu.models import build_model
     from pose_tpu.parallel import shard_batch, shard_replicated
     from pose_tpu.train import steps
 
     args = _flag_args(depth_only=True, partial_conv=True, do_fusion=False,
                       to_depth=False, nexponent=False)
-    model = build_model(args, 'partial_depth')
+    model = _tiny_model('partial_depth', 1)
     tx = steps.make_optimizer(args)
     state = steps.init_state(model, args, tx,
                              (jnp.ones((1, SIDE, SIDE, 1)),))
@@ -186,15 +194,14 @@ def _build_partial(mesh):
 
 
 def _build_distill(mesh):
-    from pose_tpu.models import build_model
     from pose_tpu.parallel import shard_batch, shard_replicated
     from pose_tpu.train import steps
 
     args = _flag_args(do_teach=True, attention=True, do_freeze=False,
                       sigmoid=False, bin_dist=False, do_fusion=False,
                       nexponent=False, to_depth=False, semi_teach=False)
-    model = build_model(args, 'depth')
-    teacher = build_model(args, 'depth')
+    model = _tiny_model('depth', 3)
+    teacher = _tiny_model('depth', 3)
     tx = steps.make_optimizer(args)
     state = steps.init_state(model, args, tx,
                              (jnp.ones((1, SIDE, SIDE, 3)),))
@@ -226,13 +233,12 @@ def _build_spatial(mesh):
     """Spatial family: on the (data, space) = (4, 2) fold of the same 8
     devices, image H sharded 2-way inside the step. mesh=None compiles the
     unconstrained single-device twin."""
-    from pose_tpu.models import build_model
     from pose_tpu.parallel import (shard_batch, shard_replicated,
                                    spatial_sharding)
     from pose_tpu.train import steps
 
     args = _flag_args(batch_size=2 * N_DEV)
-    model = build_model(args, 'rgb')
+    model = _tiny_model('rgb', 3)
     tx = steps.make_optimizer(args)
     state = steps.init_state(model, args, tx,
                              (jnp.ones((1, SIDE, SIDE, 3)),))
@@ -294,7 +300,8 @@ def test_per_device_flops_shrink(family_report):
     odd 65-px spatial dims; the spatial family additionally pays halo
     recompute on H shards that are only 33 px tall at these toy shapes
     (production 257-px crops amortize halos far better), so its bound is
-    looser. Measured on this mesh: DP families 7.12-7.36, spatial 5.47
+    looser. Measured on this mesh: DP families 7.12-7.37, spatial
+    5.47-5.55 across the resnet18 and tiny-trunk runs
     (docs/experiments/r5_scaling_structure.log)."""
     r = family_report
     lo = 4.5 if r['family'] == 'spatial' else 7.0
@@ -306,7 +313,7 @@ def test_gradient_sync_is_param_sized_allreduce(family_report):
     every gradient is reduced. Upper bound: only small extras ride along
     (BN batch-statistics mean/var pairs and loss scalars — per-channel,
     orders below param bytes); a full-batch activation sneaking into an
-    all-reduce would blow it. Measured: DP families land at 1.001-1.002x
+    all-reduce would blow it. Measured: DP families land at 1.001-1.003x
     param bytes. The (data, space) 2-D mesh reduces gradients once per
     mesh axis (measured 2.002x), hence its higher cap."""
     r = family_report
@@ -338,8 +345,8 @@ def test_no_batch_gather(family_report):
 
 def test_spatial_pays_halo_exchanges(family_report):
     """-mesh_spatial must actually exchange halos (the point of the fold):
-    collective-permute appears in the compiled program (measured: 101
-    permutes totalling ~2 MB — narrow edge bands, orders below the
+    collective-permute appears in the compiled program (measured: 53-101
+    permutes totalling ~1-2 MB — narrow edge bands, orders below the
     activation volume), possibly alongside backend-chosen all-gathers."""
     r = family_report
     if r['family'] != 'spatial':

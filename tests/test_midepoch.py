@@ -165,14 +165,17 @@ def test_rgb_preempt_resume_bit_equal(cmu, tmp_path):
     params, Adam moments, BN stats, step counter, and the train record."""
     from datasets import build_info
     from pose_tpu.data.loader import PoseLoader
-    from pose_tpu.models import build_model
+    from pose_tpu.models import PoseResNet
     from pose_tpu.train.engine import RgbTrainer
 
     info = build_info('cmu')
 
     def fresh(save_path):
         args = make_args(cmu, save_path)
-        trainer = RgbTrainer(args, build_model(args, 'rgb'), info)
+        model = PoseResNet(block='basic', layers=(1, 1, 1, 1),
+                           variant='rgb', in_channels=3, stride=32,
+                           num_joints=19, depth=4)
+        trainer = RgbTrainer(args, model, info)
         trainer.init_state((jnp.ones((1, 65, 65, 3)),))
         return args, trainer
 
@@ -205,18 +208,25 @@ def test_distill_semi_preempt_resume_bit_equal(ntu, tmp_path):
     position must all freeze and thaw exactly."""
     from depth_main import get_info
     from pose_tpu.data.loader import DepthPoseLoader
-    from pose_tpu.models import build_model
+    from pose_tpu.models import PoseResNet
     from pose_tpu.train.depth_engine import DepthTrainer
 
     info = get_info()
+
+    def tiny_depth():
+        # (1,1,1,1): the saver machinery is model-agnostic and the
+        # resnet18 twin roughly doubles this test's CPU compiles
+        return PoseResNet(block='basic', layers=(1, 1, 1, 1),
+                          variant='depth', in_channels=3, stride=32,
+                          num_joints=17, depth=4)
 
     def fresh(save_path):
         args = make_args(
             ntu, save_path, data_name='ntu', num_joints=17, do_teach=True,
             attention=True, semi_teach=True, warmup=1, warmup_factor=0.2,
             learn_decay=0.2, do_fusion=False, partial_conv=False)
-        student = build_model(args, 'depth')
-        teacher = build_model(args, 'depth')
+        student = tiny_depth()
+        teacher = tiny_depth()
         trainer = DepthTrainer(args, student, info)
         trainer.init_state((jnp.ones((1, 65, 65, 3)),))
         t_raw = teacher.init(jax.random.PRNGKey(11),
