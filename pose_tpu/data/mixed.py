@@ -44,6 +44,19 @@ class MixedLoader:
             if hasattr(loader, 'set_epoch'):
                 loader.set_epoch(epoch)
 
+    @staticmethod
+    def _draw(rng, est, alive):
+        """ONE interleave slot: weighted member choice + est bookkeeping.
+        Shared by the live loop and the fast-forward simulation — resume
+        correctness requires both to burn identical rng draws with
+        identical weights, so the logic must not exist twice."""
+        weights = np.asarray(
+            [(max(e, 1e-9) if a else 0.0) for e, a in zip(est, alive)],
+            np.float64)
+        idx = rng.choice(len(est), p=weights / weights.sum())
+        est[idx] = max(est[idx] - 1, 0)
+        return idx
+
     def __iter__(self):
         n = len(self.loaders)
         lens = [len(loader) for loader in self.loaders]
@@ -65,12 +78,8 @@ class MixedLoader:
             consumed = [0] * n
             alive = [m > 0 for m in lens]
             for _ in range(start):
-                weights = np.asarray(
-                    [(max(e, 1e-9) if a else 0.0)
-                     for e, a in zip(est, alive)], np.float64)
-                idx = rng.choice(n, p=weights / weights.sum())
+                idx = self._draw(rng, est, alive)
                 consumed[idx] += 1
-                est[idx] = max(est[idx] - 1, 0)
                 if consumed[idx] >= lens[idx]:
                     alive[idx] = False
             for loader, done in zip(self.loaders, consumed):
@@ -91,16 +100,12 @@ class MixedLoader:
             except StopIteration:
                 heads.append(None)
         while any(h is not None for h in heads):
-            weights = np.asarray(
-                [(max(e, 1e-9) if h is not None else 0.0)
-                 for e, h in zip(est, heads)], np.float64)
-            idx = rng.choice(len(iters), p=weights / weights.sum())
+            idx = self._draw(rng, est, [h is not None for h in heads])
             batch = heads[idx]
             try:
                 heads[idx] = next(iters[idx])
             except StopIteration:
                 heads[idx] = None
-            est[idx] = max(est[idx] - 1, 0)
             if self.normalize_rgb_key and 'image' in batch:
                 batch['color'] = batch.pop('image')
             batch['_dataset'] = idx

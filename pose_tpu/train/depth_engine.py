@@ -142,11 +142,14 @@ class DepthTrainer(BaseTrainer):
                 saver.step_done(i_batch)
                 yield i_batch, out
 
-        for i_batch, out in _overlap(dispatched()):
-            if freq and i_batch % freq == 0:
-                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                      % (epoch, i_batch, n_batches, float(out['cam_loss'])),
-                      flush=True)
+        try:
+            for i_batch, out in _overlap(dispatched()):
+                if freq and i_batch % freq == 0:
+                    print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                          % (epoch, i_batch, n_batches,
+                             float(out['cam_loss'])), flush=True)
+        finally:
+            saver.close()
         loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
@@ -175,10 +178,14 @@ class DepthTrainer(BaseTrainer):
                 saver.step_done(i_batch)
                 yield i_batch, out
 
-        for i_batch, out in _overlap(dispatched()):
-            if freq and i_batch % freq == 0:
-                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                      % (epoch, i_batch, n_batches, float(out['cam_loss'])))
+        try:
+            for i_batch, out in _overlap(dispatched()):
+                if freq and i_batch % freq == 0:
+                    print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                          % (epoch, i_batch, n_batches,
+                             float(out['cam_loss'])))
+        finally:
+            saver.close()
         loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
@@ -240,16 +247,21 @@ class DepthTrainer(BaseTrainer):
                 saver.step_done(i_batch)
                 yield i_batch, out
 
-        for i_batch, out in _overlap(dispatched()):
-            if freq and i_batch % freq == 0:
-                message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
-                    epoch, i_batch, n_batches)
-                message += ' Cam Loss {:.4f} '.format(float(out['cam_loss']))
-                message += ' Dist Loss {:.4f} '.format(float(out['dist_loss']))
-                if self.args.semi_teach:
-                    message += ' Semi Loss {:.4f}'.format(
-                        float(out['semi_loss']))
-                print(message)
+        try:
+            for i_batch, out in _overlap(dispatched()):
+                if freq and i_batch % freq == 0:
+                    message = '[=] train Epoch[{0}] Batch[{1}|{2}] '.format(
+                        epoch, i_batch, n_batches)
+                    message += ' Cam Loss {:.4f} '.format(
+                        float(out['cam_loss']))
+                    message += ' Dist Loss {:.4f} '.format(
+                        float(out['dist_loss']))
+                    if self.args.semi_teach:
+                        message += ' Semi Loss {:.4f}'.format(
+                            float(out['semi_loss']))
+                    print(message)
+        finally:
+            saver.close()
 
         cam_loss_sum = cam_meter.mean('cam_loss')
         dist_loss_sum = dist_meter.mean('dist_loss')

@@ -99,8 +99,12 @@ class MidEpochSaver:
     epoch bit-exactly: skipped batches are never decoded and keep their
     original indices (loader.start_batch).
 
-    Save is main-process-only (multi-host runs share the checkpoint
-    filesystem); restore happens in every process, from the shared path.
+    Saves are ASYNC (orbax stages the host payload and writes in the
+    background; `close()` flushes at epoch end) and — like every orbax
+    call in this repo — issued on EVERY process of a multi-host run:
+    orbax save/close are collective, so gating them on process 0 would
+    desynchronize the barrier sequence. Restore likewise runs on all
+    processes from the shared checkpoint path.
     `extra` maps name -> (getter, setter) over pytrees owned by the
     trainer. Loaders without fast-forward support (no `start_batch`)
     disable the saver with a console note rather than checkpointing
@@ -122,6 +126,7 @@ class MidEpochSaver:
             enabled = False
         self.every = every if enabled else 0
         self.offset = 0
+        self._manager = None
         if self.every and getattr(trainer, '_mid_resume_pending', False):
             trainer._mid_resume_pending = False
             self.offset = self._try_restore()
@@ -158,14 +163,26 @@ class MidEpochSaver:
 
     def step_done(self, i_batch):
         """Call after train step `i_batch` has been dispatched and metered;
-        writes a snapshot when the cadence hits (the device_get inside the
-        save is the only extra host sync, once per N steps)."""
+        stages a snapshot when the cadence hits. The device_get of the
+        TrainState is the only synchronous cost — the filesystem write
+        overlaps the following train steps (async orbax); `close()`
+        flushes."""
         if self.every and (i_batch + 1) % self.every == 0:
-            from ..parallel import is_main_process
-            if is_main_process():
-                from .orbax_io import save_mid_epoch
-                save_mid_epoch(self.args, self._payload(), self.epoch,
-                               i_batch + 1)
+            from .orbax_io import open_mid_epoch_manager, save_mid_epoch
+            if self._manager is None:
+                self._manager = open_mid_epoch_manager(self.args)
+            save_mid_epoch(self._manager, self._payload(), self.epoch,
+                           i_batch + 1)
+
+    def close(self):
+        """Flush any in-flight async snapshot write; call at epoch end
+        (including on the exception path, so the last staged snapshot is
+        durable when a preemption arrives as an exception rather than a
+        kill)."""
+        if self._manager is not None:
+            self._manager.wait_until_finished()
+            self._manager.close()
+            self._manager = None
 
 
 class BaseTrainer:
@@ -298,10 +315,13 @@ class RgbTrainer(BaseTrainer):
                 saver.step_done(i)
                 yield i, out
 
-        for i, out in _overlap(dispatched()):
-            if freq and i % freq == 0:
-                print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
-                      % (epoch, i, n_batches, float(out['cam_loss'])))
+        try:
+            for i, out in _overlap(dispatched()):
+                if freq and i % freq == 0:
+                    print('| train Epoch[%d] [%d/%d]  Loss %1.4f'
+                          % (epoch, i, n_batches, float(out['cam_loss'])))
+        finally:
+            saver.close()
         loss_avg = meter.mean('cam_loss')
         print('\n=> train Epoch[%d]  Cam Loss: %1.4f\n' % (epoch, loss_avg))
         return dict(cam_train_loss=loss_avg)
@@ -325,14 +345,19 @@ class RgbTrainer(BaseTrainer):
                 saver.step_done(i)
                 yield i, out
 
-        for i, out in _overlap(dispatched()):
-            if freq and i % freq == 0:
-                message = '| train Epoch[%d] [%d/%d]' % (epoch, i, n_batches)
-                message += '  Cam Loss: %1.4f' % float(out['cam_loss'])
-                message += '  Mat Loss: %1.4f' % float(out['mat_loss'])
-                if do_track:
-                    message += '  Recon Loss: %1.4f' % float(out['recon_loss'])
-                print(message)
+        try:
+            for i, out in _overlap(dispatched()):
+                if freq and i % freq == 0:
+                    message = ('| train Epoch[%d] [%d/%d]'
+                               % (epoch, i, n_batches))
+                    message += '  Cam Loss: %1.4f' % float(out['cam_loss'])
+                    message += '  Mat Loss: %1.4f' % float(out['mat_loss'])
+                    if do_track:
+                        message += ('  Recon Loss: %1.4f'
+                                    % float(out['recon_loss']))
+                    print(message)
+        finally:
+            saver.close()
         cam_avg = meter.mean('cam_loss')
         mat_avg = meter.mean('mat_loss')
         recon_avg = meter.mean('recon_loss')

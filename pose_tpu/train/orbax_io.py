@@ -100,21 +100,32 @@ def clear_mid_epoch(args):
     shutil.rmtree(mid_epoch_dir(args), ignore_errors=True)
 
 
-def save_mid_epoch(args, payload, epoch, next_batch):
-    """payload: a pytree (dict) with everything the continuation needs;
-    the engines own its schema. Bounded at the 2 most recent snapshots."""
-    assert next_batch < _MID_EPOCH_RADIX
+def open_mid_epoch_manager(args):
+    """A long-lived CheckpointManager for the mid-epoch snapshots of one
+    epoch. ASYNC: `save_mid_epoch` returns once the (already host-side)
+    payload is staged, and the filesystem write overlaps the next train
+    steps — the caller flushes with `manager.wait_until_finished()` /
+    `manager.close()` at epoch end. Orbax finalizes snapshots by rename,
+    so a preemption mid-write loses only the in-flight snapshot, never
+    the previous one. Must be opened (and each save issued) on EVERY
+    process of a multi-host run — orbax save/close are collective."""
     directory = mid_epoch_dir(args)
     os.makedirs(directory, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=2,
+                                           enable_async_checkpointing=True)
+    return ocp.CheckpointManager(directory, options=options)
+
+
+def save_mid_epoch(manager, payload, epoch, next_batch):
+    """payload: a pytree (dict) with everything the continuation needs;
+    the engines own its schema. Bounded at the 2 most recent snapshots
+    (manager options). Asynchronous — see open_mid_epoch_manager."""
+    assert next_batch < _MID_EPOCH_RADIX
     step = epoch * _MID_EPOCH_RADIX + next_batch
-    options = ocp.CheckpointManagerOptions(max_to_keep=2)
-    with ocp.CheckpointManager(directory, options=options) as manager:
-        saved = manager.save(step, args=ocp.args.StandardSave(
-            jax.device_get(payload)), force=True)
-        manager.wait_until_finished()
+    saved = manager.save(step, args=ocp.args.StandardSave(
+        jax.device_get(payload)), force=True)
     if not saved:
-        raise RuntimeError(
-            f'orbax refused mid-epoch step {step} into {directory}')
+        raise RuntimeError(f'orbax refused mid-epoch step {step}')
 
 
 def restore_mid_epoch(args, template, expected_epoch):
