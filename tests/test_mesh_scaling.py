@@ -23,6 +23,7 @@ lower+compile the SAME global batch once on one device and once over the
 mesh and compare. No step is executed — this is structure, not numerics.
 """
 
+import os
 import re
 
 import numpy as np
@@ -35,7 +36,10 @@ pytestmark = pytest.mark.slow
 
 SIDE = 65
 JOINTS = 17
-N_DEV = 8
+# the suite runs at the documented 8-device mesh (conftest); the env
+# override lets the __main__ probe regenerate the structure table at
+# other device counts (e.g. 16 — docs/experiments/r5_scaling_structure.log)
+N_DEV = int(os.environ.get('POSE_TPU_SCALING_NDEV', 8))
 
 _DTYPE_BYTES = {
     'f64': 8, 'f32': 4, 'f16': 2, 'bf16': 2,
