@@ -202,6 +202,39 @@ def test_rgb_preempt_resume_bit_equal(cmu, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_save_every_plumbing(cmu, tmp_path):
+    """main.py flag plumbing: -save_state -save_every N writes mid-epoch
+    snapshots during the epoch and CLEARS them once the epoch completes
+    and is recorded (a stale snapshot must never hijack the next resume);
+    the per-epoch sidecar and torch checkpoint still land."""
+    import os
+    import subprocess
+    import sys
+
+    save = str(tmp_path / 'save')
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    flags = ['-suffix', 'mid', '-criterion', 'SmoothL1', '-batch_size', '4',
+             '-side_in', '65', '-stride', '32', '-depth', '4',
+             '-n_epochs', '1', '-n_cudas', '1', '-learn_rate', '1e-4',
+             '-model', 'resnet18', '-data_name', 'cmu', '-num_joints', '19',
+             '-metadata_path', cmu, '-save_path', save,
+             '-shuffle', '-save_record', '-save_state', '-save_every', '2']
+    r = subprocess.run([sys.executable, 'main.py'] + flags,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    run_dir = os.path.join(save, 'resnet18-mid')
+    assert os.path.isdir(os.path.join(run_dir, 'orbax'))
+    assert os.path.exists(os.path.join(run_dir, 'model_1.pth'))
+    # epoch completed and was recorded => mid-epoch snapshots cleared
+    assert not os.path.isdir(os.path.join(run_dir, 'orbax', 'mid'))
+
+
+@pytest.mark.slow
 def test_distill_semi_preempt_resume_bit_equal(ntu, tmp_path):
     """The heaviest continuation record: distillation with a semi stream —
     the teacher's drifting BN stats and the semi loader's (cycle, offset)
